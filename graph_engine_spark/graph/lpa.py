@@ -1,0 +1,98 @@
+"""Synchronous label propagation with deterministic tie-breaking.
+
+Classic LPA is asynchronous and randomized; the north rule requires
+exact, reproducible labels, so this is the deterministic synchronous
+variant: every superstep each vertex adopts the most frequent label
+among its (undirected) neighbors, ties broken by minimum label; isolated
+vertices keep their own label. Convergence = no label changed, with a
+fixed iteration cap (synchronous LPA can 2-cycle on bipartite
+structures — the cap bounds that).
+
+Spark shape per superstep: one join (labels onto the static symmetrized
+edge list), one count aggregation on (id, label), one ranking window
+partitioned by id for the argmax (SURVEY.md §2.5 — the same
+row_number-over-(count desc, label asc) pattern the reference's greedy
+rename resolution maps to), one join to detect changes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graph_engine_spark.graph.adjacency import vertices as vertex_ids
+from graph_engine_spark.graph.pagerank import _IterLoopConf
+
+
+@dataclass
+class LPAResult:
+    labels: DataFrame  # (id, label)
+    iterations: int
+    converged: bool
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> LPAResult:
+    spark = edges.sparkSession
+    loop_conf = _IterLoopConf(
+        spark, int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    try:
+        return _label_propagation(edges, src, dst, max_iter)
+    finally:
+        loop_conf.restore()
+
+
+def _label_propagation(edges, src, dst, max_iter) -> LPAResult:
+    verts = vertex_ids(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = verts.select("id", F.col("id").alias("label")).persist()
+    win = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+    it, converged = 0, False
+    while it < max_iter:
+        votes = (
+            sym.join(labels, sym.a == labels.id)
+            .groupBy(F.col("b").alias("id"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        it += 1
+        if it % 8 == 0:
+            labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    verts.unpersist()
+    return LPAResult(labels, it, converged)

@@ -1,0 +1,85 @@
+"""Triangle counting by degree-ordered wedge join.
+
+The standard scalable formulation (cf. Suri & Vassilvitskii, WWW'11):
+orient each undirected edge from the endpoint with (degree, id) lower to
+higher — every triangle is then counted exactly once, and the wedge join
+fans out from low-degree vertices, bounding the work a hub contributes
+to O(deg_hub) instead of O(deg_hub²) — the degree-ordering IS the skew
+mitigation for hub files.
+
+Spark shape: canonicalize (one projection + distinct), degree join,
+self-join on the middle vertex (wedges), then a semi-ish inner join of
+wedges against the oriented edge set to close triangles. All equi-joins;
+AQE picks broadcast for the degree dim when small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class TriangleResult:
+    total: int
+    per_vertex: DataFrame  # (id, triangles)
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> TriangleResult:
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient: lower (deg, id) -> higher (deg, id)
+    e = (
+        und.join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).filter(
+        F.col("e1.v") < F.col("e2.v")
+    ).select(
+        F.col("e1.u").alias("w"), F.col("e1.v").alias("x"), F.col("e2.v").alias("y")
+    )
+    closing = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    tris = wedges.join(closing, ["x", "y"], "inner").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    total = tris.count()
+    per_vertex = (
+        tris.select(F.col("w").alias("id"))
+        .unionAll(tris.select(F.col("x").alias("id")))
+        .unionAll(tris.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    und.unpersist()
+    return TriangleResult(total, per_vertex)

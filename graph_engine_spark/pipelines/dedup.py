@@ -1,0 +1,167 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-conscious:
+  * exact: sha256 group-by — one hash aggregation, map-side combine.
+  * minhash LSH: shingle → minhash signature (vectorized, JVM-side
+    hash/aggregate — no Python) → band buckets → candidate pairs from
+    bucket join → Jaccard verify. The band join is an equi-join on
+    (band, bucket-hash): at 100 TB this is THE way to avoid the O(n²)
+    pair space; bucket sizes bound the quadratic blow-up per key.
+  * simhash: 64-bit signature from md5(token) bit-votes; near-dups =
+    signatures at small Hamming distance found via band equi-join on
+    16-bit chunks (Charikar'02 / Manku et al.'07 pattern).
+  * n-gram Jaccard: explicit pairwise verify for a candidate set.
+  * embedding cosine: see similarity.py.
+
+md5-derived hashing everywhere (not xxhash64) so every operator has a
+bit-identical DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_long(c: Column, salt: int) -> Column:
+    """Deterministic 60-bit integer hash from md5 — reproducible in any
+    engine with md5 + hex parse (DuckDB oracle-compatible)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(salt) + ":"), c).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """One survivor per identical content: min(key) per sha256(text)."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col).cast("binary"), 256).alias("content_sha"))
+        .agg(F.min(key_col).alias(key_col), F.count("*").alias("dup_count"))
+        .select(key_col, "content_sha", "dup_count")
+    )
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles of whitespace/case-normalized text."""
+    words = F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+    n = F.size(words)
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, k: int = 5) -> Column:
+    """Array of num_hashes minima over shingle hashes — all JVM-side
+    (aggregate over transform), no UDF."""
+    sh = shingles(text, k)
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: _md5_long(s, i)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded minhash."""
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(key_col).alias("key"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    )
+    banded = sig.select(
+        "key",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    "_", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact Jaccard over word k-shingles for candidate pairs
+    (key_a, key_b) — the verify stage after LSH blocking."""
+    sh = docs.select(
+        F.col(key_col).alias("key"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("key", "key_a").withColumnRenamed("sh", "sh_a"), "key_a")
+        .join(sh.withColumnRenamed("key", "key_b").withColumnRenamed("sh", "sh_b"), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_table(
+    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Simhash signatures (Charikar'02): per-token md5-derived hash bits
+    vote +1/-1 per position; the signature packs the positive votes.
+
+    Spark shape: explode distinct tokens → one hash aggregation per doc
+    with `bits` conditional sums (map-side combine; no UDF, no window).
+    Near-dup search = band equi-join on signature chunks (Manku'07).
+    """
+    tokens = docs.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("token"),
+    ).withColumn("h", _md5_long(F.col("token"), 1))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tokens.groupBy("key").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col("key").alias(key_col), sig.alias("simhash"))

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — `F.zip_with`/`F.aggregate` dot
+products, all JVM-side; the query vector is a literal array (broadcast
+by construction). Scale path: LSH bucketing via random hyperplanes
+(signed projections), so candidate generation is an equi-join on bucket
+signature instead of a full cross product; IVF-style coarse clustering
+is the same join with learned centroids.
+
+Deterministic hyperplanes: seeded md5-derived pseudo-randoms, so results
+are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector.
+    TakeOrderedAndProject: no full sort, per-partition heaps + merge."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(key_col),
+        cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(key_col)).limit(k)
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from seeded sha256."""
+    vals = []
+    for d in range(dim):
+        h = hashlib.sha256(f"plane:{plane}:dim:{d}".encode()).digest()
+        u = int.from_bytes(h[:8], "big") / 2**64  # [0,1)
+        vals.append(u - 0.5)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_bucket_signature(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Random-hyperplane LSH signature (int bitmask)."""
+    sig = F.lit(0)
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        sig = sig + F.when(_dot(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    num_planes: int = 6,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket (plus
+    Hamming-1 neighbor buckets for recall)."""
+    dim = len(query_vec)
+    sigs = embeddings.select(
+        F.col(key_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket_signature(F.col(vec_col).cast("array<double>"), dim, num_planes).alias("sig"),
+    )
+    qsig = 0
+    for p in range(num_planes):
+        plane = _hyperplane(dim, p)
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qsig |= 1 << p
+    probe = [qsig] + [qsig ^ (1 << p) for p in range(num_planes)]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cands = sigs.filter(F.col("sig").isin(probe))
+    scored = cands.select(key_col, cosine_similarity(F.col("v"), q).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc(key_col)).limit(k)
+
+
+def all_pairs_above(
+    embeddings: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    num_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-blocked self-join, cosine
+    verify ≥ threshold. The bucket equi-join replaces the O(n²) cross
+    product; lower num_planes = higher recall, bigger buckets."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col]) if first else 0
+    sigs = embeddings.select(
+        F.col(key_col).alias("key"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket_signature(F.col(vec_col).cast("array<double>"), dim, num_planes).alias("sig"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.join(
+        b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.key") < F.col("b.key"))
+    ).select(
+        F.col("a.key").alias("key_a"),
+        F.col("b.key").alias("key_b"),
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,84 @@
+"""Canonical engine schemas (SURVEY.md §1.4, FIXTURES.md §1-2).
+
+The reference is schemaless dicts with a fixed de-facto shape
+(reference graph_core/analyzer/treesitter_parser/tree_sitter_parser.py:884-920,
+graph_core/storage/in_memory.py:57-105). We declare the closed schema up
+front: dynamic attribute addition in the reference becomes nullable
+columns here (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Engine input — authoritative shape from BASELINE.json input_hint.
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+# Single-pass extraction IR: one mapInPandas emits node rows and edge
+# rows in a union schema (kind discriminates); nodes/edges tables are
+# column-pruned selects over it. One extraction pass, not two.
+IR_SCHEMA = StructType(
+    [
+        StructField("kind", StringType(), False),  # 'node' | 'edge'
+        StructField("id", StringType(), True),  # node id
+        StructField("type", StringType(), True),  # node type
+        StructField("name", StringType(), True),
+        StructField("src", StringType(), True),  # edge fields
+        StructField("dst", StringType(), True),
+        StructField("edge_type", StringType(), True),
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("start_line", IntegerType(), True),  # 1-based
+        StructField("end_line", IntegerType(), True),
+        StructField("content_hash", StringType(), True),  # module nodes only
+    ]
+)
+
+NODES_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("type", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("start_line", IntegerType(), True),
+        StructField("end_line", IntegerType(), True),
+        StructField("files", ArrayType(StringType()), True),
+        StructField("content_hash", StringType(), True),
+    ]
+)
+
+EDGES_SCHEMA = StructType(
+    [
+        StructField("src", StringType(), False),
+        StructField("dst", StringType(), False),
+        StructField("edge_type", StringType(), False),
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+    ]
+)
+
+EDGE_TYPES = ("contains", "member_of", "inherits", "imports", "calls")
+NODE_TYPES = ("module", "file", "function", "class", "import", "call")
+
+RANKS_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("rank", LongType(), False),
+    ]
+)

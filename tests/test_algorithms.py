@@ -1,0 +1,208 @@
+"""Iterative link-graph algorithms vs. oracles (FIXTURES.md §4).
+
+Oracle = networkx, a dependency the reference itself uses
+(reference requirements.txt:20). PageRank: allclose 1e-6 against
+networkx.pagerank; CC: exact partition match; triangles: exact count;
+LPA: deterministic-spec oracle in pure Python.
+"""
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from graph_engine_spark.corpus import synthesize_corpus
+from graph_engine_spark.extractor import extract_graph
+from graph_engine_spark.graph.linkgraph import module_link_graph
+from graph_engine_spark.graph.pagerank import pagerank
+from graph_engine_spark.graph.components import connected_components
+from graph_engine_spark.graph.lpa import label_propagation
+from graph_engine_spark.graph.triangles import triangle_count
+
+
+def edge_df(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], ["src", "dst"]
+    )
+
+
+def ring(n):
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def star(n):
+    return [(i, 0) for i in range(1, n + 1)]
+
+
+def two_cliques_bridge(k):
+    e = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            e.append((f"a{i}", f"a{j}"))
+            e.append((f"b{i}", f"b{j}"))
+    e.append(("a0", "b0"))
+    return e
+
+
+def nx_pagerank(pairs, alpha=0.85, tol=1e-10, max_iter=1000):
+    """Dense numpy power iteration with dangling redistribution —
+    identical semantics to networkx.pagerank (which needs scipy, absent
+    here). Fixture-scale only."""
+    import numpy as np
+
+    verts = sorted({str(a) for a, _ in pairs} | {str(b) for _, b in pairs})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out = np.zeros(n)
+    for a, _ in pairs:
+        out[idx[str(a)]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        for a, b in pairs:
+            contrib[idx[str(b)]] += r[idx[str(a)]] / out[idx[str(a)]]
+        dangling = r[out == 0].sum()
+        new = (1 - alpha) / n + alpha * (contrib + dangling / n)
+        if np.abs(new - r).sum() < tol:
+            r = new
+            break
+        r = new
+    return {v: r[idx[v]] for v in verts}
+
+
+def assert_ranks_close(result, oracle, tol=1e-6):
+    got = {r["id"]: r["rank"] for r in result.ranks.collect()}
+    assert set(got) == set(oracle)
+    for k in oracle:
+        assert abs(got[k] - oracle[k]) < tol, (k, got[k], oracle[k])
+
+
+@pytest.mark.parametrize("pairs", [ring(20), star(15)], ids=["ring20", "star15"])
+def test_pagerank_fixtures(spark, pairs):
+    res = pagerank(edge_df(spark, pairs), tol=1e-7, max_iter=150, num_partitions=4)
+    assert res.converged
+    assert_ranks_close(res, nx_pagerank(pairs))
+
+
+def test_pagerank_dangling_and_salting(spark):
+    # star: hub 0 is dangling (no out-edges) AND skewed (in-deg 15)
+    pairs = star(15) + [(20, 21), (21, 20)]
+    res = pagerank(
+        edge_df(spark, pairs), tol=1e-7, max_iter=150, num_partitions=4, salt_buckets=4
+    )
+    assert res.converged
+    assert_ranks_close(res, nx_pagerank(pairs))
+
+
+def test_pagerank_checkpoint_resume(spark, tmp_path):
+    from graph_engine_spark.graph.checkpoint import CheckpointManager
+
+    pairs = ring(30) + star(10)
+    full = pagerank(edge_df(spark, pairs), tol=1e-10, max_iter=40, num_partitions=4)
+    # run 1: stop early at 6 supersteps, checkpointing every 3
+    ck = CheckpointManager(str(tmp_path / "ck"), every_k=3)
+    partial = pagerank(
+        edge_df(spark, pairs), tol=1e-10, max_iter=6, num_partitions=4, checkpoint=ck
+    )
+    assert not partial.converged
+    assert ck.iterations()  # durable supersteps exist
+    # run 2: resume mid-iteration from the checkpoint, finish
+    resumed = pagerank(
+        edge_df(spark, pairs), tol=1e-10, max_iter=40, num_partitions=4,
+        checkpoint=ck, resume=True,
+    )
+    # resumed from superstep 6 → runs 34 more; trajectory must equal the
+    # uninterrupted 40-superstep run (mid-iteration resume, north rule)
+    assert resumed.iterations == full.iterations == 40
+    got_full = {r["id"]: r["rank"] for r in full.ranks.collect()}
+    got_res = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+    for k in got_full:
+        assert abs(got_full[k] - got_res[k]) < 1e-9
+
+
+def nx_components(pairs):
+    g = nx.Graph()
+    g.add_edges_from((str(a), str(b)) for a, b in pairs)
+    return {frozenset(c) for c in nx.connected_components(g)}
+
+
+@pytest.mark.parametrize("method", ["two_phase", "hash_min"])
+def test_connected_components(spark, method):
+    pairs = (
+        ring(12)
+        + [(f"x{i}", f"x{i+1}") for i in range(8)]  # chain component
+        + [("solo1", "solo2")]
+    )
+    res = connected_components(edge_df(spark, pairs), method=method)
+    assert res.converged
+    rows = res.components.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["component"], set()).add(r["id"])
+    assert {frozenset(v) for v in by_label.values()} == nx_components(pairs)
+    # canonical label = min id of component
+    for label, members in by_label.items():
+        assert label == min(members)
+
+
+def test_triangles(spark):
+    pairs = two_cliques_bridge(5)
+    res = triangle_count(edge_df(spark, pairs))
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    expected_total = sum(nx.triangles(g).values()) // 3
+    assert res.total == expected_total == 20
+    per_v = {r["id"]: r["triangles"] for r in res.per_vertex.collect()}
+    nx_per = {k: v for k, v in nx.triangles(g).items() if v > 0}
+    assert per_v == nx_per
+
+
+def lpa_oracle(pairs, max_iter=10):
+    """Pure-python oracle for OUR deterministic sync LPA spec."""
+    nbrs = {}
+    for a, b in pairs:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(max_iter):
+        new = {}
+        for v in nbrs:
+            counts = {}
+            for u in nbrs[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = best
+        if new == labels:
+            return new, True
+        labels = new
+    return labels, False
+
+
+def test_lpa_two_cliques(spark):
+    pairs = two_cliques_bridge(6)
+    res = label_propagation(edge_df(spark, pairs), max_iter=10)
+    oracle, conv = lpa_oracle(pairs, max_iter=10)
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert got == oracle
+    assert res.converged == conv
+    # the two cliques end up with distinct internal labels
+    a_labels = {got[f"a{i}"] for i in range(6)}
+    b_labels = {got[f"b{i}"] for i in range(6)}
+    assert len(a_labels) == 1 and len(b_labels) == 1 and a_labels != b_labels
+
+
+def test_end_to_end_extract_then_rank(spark):
+    """FIXTURES.md §4 last row: extract → module graph → PageRank vs nx."""
+    corpus = synthesize_corpus(spark, n_files=150, n_components=5, hubs_per_component=4)
+    _, edges = extract_graph(corpus)
+    mg = module_link_graph(edges).persist()
+    pairs = [(r["src"], r["dst"]) for r in mg.collect()]
+    assert pairs
+    res = pagerank(mg, tol=1e-7, max_iter=150, num_partitions=8)
+    assert res.converged
+    assert_ranks_close(res, nx_pagerank(pairs))
+    # hub skew exists: top rank should be a hub module (index < c*h = 20)
+    top = res.ranks.orderBy(F.desc("rank")).first()["id"]
+    assert int(top.split("_")[1]) < 20

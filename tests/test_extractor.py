@@ -1,0 +1,159 @@
+"""Extractor unit + integration tests.
+
+Mirrors the reference's parser/storage test strategy (SURVEY.md §5):
+golden node/edge sets over known sources, non-file-qualified id
+collapse, (src,dst,edge_type) dedup, and the BASELINE.json per-row
+invariant: sha2(content,256) == hashlib.sha256(content).hexdigest().
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_engine_spark.corpus import synthesize_corpus, expected_module_edges
+from graph_engine_spark.extractor import extract_graph
+from graph_engine_spark.extractor.pyext import extract_python, extract_js
+from graph_engine_spark.graph.linkgraph import module_link_graph
+
+PY_SAMPLE = '''"""Sample."""
+import os.path
+from collections import OrderedDict
+
+class BaseClass:
+    pass
+
+class Person(BaseClass):
+    def __init__(self, name):
+        self.name = name
+
+    def greet(self):
+        return format_name(self.name)
+
+def format_name(n):
+    return n.strip().title()
+
+async def fetch():
+    return format_name("x")
+'''
+
+JS_SAMPLE = """// sample
+import { thing } from 'other_module';
+const helper = require('helper_lib');
+
+class Animal extends Base {
+  speak() { return 'hi'; }
+}
+
+function makeAnimal(kind) {
+  return new Animal(kind);
+}
+
+const arrowFn = (x) => x + 1;
+"""
+
+
+def test_python_extraction_golden():
+    nodes, edges = extract_python("src/sample.py", PY_SAMPLE)
+    ids = {n[0] for n in nodes}
+    assert "module:sample.py" in ids
+    assert "file:sample.py" in ids
+    assert {"class:BaseClass", "class:Person"} <= ids
+    assert {"function:__init__", "function:greet", "function:format_name",
+            "function:fetch"} <= ids
+    assert {"import:os.path", "import:collections"} <= ids
+    eset = set(edges)
+    assert ("file:sample.py", "import:os.path", "imports") in eset
+    assert ("file:sample.py", "import:collections", "imports") in eset
+    assert ("class:Person", "class:BaseClass", "inherits") in eset
+    assert ("function:greet", "class:Person", "member_of") in eset
+    assert ("function:greet", "function:format_name", "calls") in eset
+    # method calls carry the dotted callee text (reference behavior)
+    assert ("function:format_name", "function:n.strip().title", "calls") not in eset
+    assert ("module:sample.py", "class:Person", "contains") in eset
+    assert ("module:sample.py", "function:format_name", "contains") in eset
+    # methods are not module-contained (nested under class)
+    assert ("module:sample.py", "function:greet", "contains") not in eset
+
+
+def test_python_syntax_error_degrades_to_module_only():
+    nodes, edges = extract_python("bad.py", "def broken(:\n")
+    assert [n[0] for n in nodes] == ["module:bad.py"]
+    assert edges == []
+
+
+def test_js_extraction_golden():
+    nodes, edges = extract_js("src/sample.js", JS_SAMPLE)
+    ids = {n[0] for n in nodes}
+    assert {"module:sample.js", "class:Animal", "function:makeAnimal",
+            "function:arrowFn", "import:other_module", "import:helper_lib"} <= ids
+    eset = set(edges)
+    assert ("class:Animal", "class:Base", "inherits") in eset
+    assert ("file:sample.js", "import:other_module", "imports") in eset
+    assert ("file:sample.js", "import:helper_lib", "imports") in eset
+    assert ("module:sample.js", "function:makeAnimal", "contains") in eset
+
+
+@pytest.fixture(scope="module")
+def small_graph(spark):
+    corpus = synthesize_corpus(spark, n_files=120, n_components=4, hubs_per_component=3)
+    nodes, edges = extract_graph(corpus)
+    return corpus, nodes.persist(), edges.persist()
+
+
+def test_sha256_invariant(spark, small_graph):
+    """BASELINE.json per-row invariant: JVM sha2 == hashlib.sha256."""
+    corpus, nodes, edges = small_graph
+    rows = (
+        corpus.limit(20)
+        .select("content", F.sha2(F.col("content").cast("binary"), 256).alias("h"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["h"] == hashlib.sha256(r["content"].encode()).hexdigest()
+    # and the module nodes carry exactly that hash
+    joined = (
+        nodes.filter(F.col("type") == "module")
+        .join(corpus.select("path", "content"), "path")
+        .select("content_hash", "content")
+        .limit(20)
+        .collect()
+    )
+    for r in joined:
+        assert r["content_hash"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_edge_dedup_uniqueness(small_graph):
+    _, _, edges = small_graph
+    total = edges.count()
+    distinct = edges.select("src", "dst", "edge_type").distinct().count()
+    assert total == distinct > 0
+
+
+def test_shared_name_collapse(small_graph):
+    """Non-file-qualified ids: shared_helper defined in many files is ONE
+    node with set-merged files (reference in_memory.py:66-74)."""
+    _, nodes, _ = small_graph
+    rows = nodes.filter(F.col("id") == "function:shared_helper").collect()
+    assert len(rows) == 1
+    assert len(rows[0]["files"]) > 1
+
+
+def test_module_link_graph_matches_designed_topology(spark, small_graph):
+    _, _, edges = small_graph
+    got = {
+        (r["src"], r["dst"])
+        for r in module_link_graph(edges).collect()
+    }
+    expected = {
+        (f"mod_{a:06d}", f"mod_{b:06d}")
+        for a, b in expected_module_edges(120, 4, 3)
+    }
+    assert got == expected
+
+
+def test_corpus_deterministic_across_parallelism(spark):
+    a = synthesize_corpus(spark, 50, partitions=2).orderBy("path").collect()
+    b = synthesize_corpus(spark, 50, partitions=16).orderBy("path").collect()
+    assert a == b

@@ -1,0 +1,114 @@
+"""Incremental maintenance semantics (SURVEY.md §2.9) — batch CDC
+algebra + a real Structured Streaming run with foreachBatch."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_engine_spark.streaming.maintenance import (
+    apply_deletes,
+    apply_upserts,
+    empty_state,
+    start_streaming_maintenance,
+)
+
+FILE_A_V1 = "import os\n\ndef shared_func():\n    return 1\n"
+FILE_A_V2 = "import sys\n\ndef shared_func():\n    return 2\n\ndef extra():\n    return 3\n"
+FILE_B = "import os\n\ndef shared_func():\n    return 9\n"
+
+
+def corpus_df(spark, rows):
+    return spark.createDataFrame(
+        [(r[0], r[1], "c" * 40, "python", r[2]) for r in rows],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+
+
+def test_upsert_insert_then_modify(spark):
+    state = empty_state(spark)
+    state = apply_upserts(state, corpus_df(spark, [("r", "a.py", FILE_A_V1)]))
+    ids = {r["id"] for r in state.nodes.collect()}
+    assert "function:shared_func" in ids and "import:os" in ids
+
+    # modify: import changes os->sys, extra() appears
+    state = apply_upserts(state, corpus_df(spark, [("r", "a.py", FILE_A_V2)]))
+    ids = {r["id"] for r in state.nodes.collect()}
+    assert "import:sys" in ids and "function:extra" in ids
+    assert "import:os" not in ids  # old file-scoped rows replaced
+    edges = {(r["src"], r["dst"], r["edge_type"]) for r in state.edges.collect()}
+    assert ("file:a.py", "import:sys", "imports") in edges
+    assert ("file:a.py", "import:os", "imports") not in edges
+
+
+def test_hash_skip_unchanged(spark):
+    state = empty_state(spark)
+    state = apply_upserts(state, corpus_df(spark, [("r", "a.py", FILE_A_V1)]))
+    h1 = {r["path"]: r["content_hash"] for r in state.file_hashes.collect()}
+    # re-sending identical content is a no-op (parse skip)
+    state2 = apply_upserts(state, corpus_df(spark, [("r", "a.py", FILE_A_V1)]))
+    h2 = {r["path"]: r["content_hash"] for r in state2.file_hashes.collect()}
+    assert h1 == h2
+    assert state2.nodes.count() == state.nodes.count()
+
+
+def test_shared_node_refcount_on_delete(spark):
+    """reference tests/test_in_memory_graph.py:75-123: removing file A
+    keeps shared_func alive via file B."""
+    state = empty_state(spark)
+    state = apply_upserts(
+        state, corpus_df(spark, [("r", "a.py", FILE_A_V1), ("r", "b.py", FILE_B)])
+    )
+    shared = state.nodes.filter(F.col("id") == "function:shared_func").collect()
+    assert len(shared) == 1 and sorted(shared[0]["files"]) == ["a.py", "b.py"]
+
+    deleted = spark.createDataFrame([("a.py",)], ["path"])
+    state = apply_deletes(state, deleted)
+    shared = state.nodes.filter(F.col("id") == "function:shared_func").collect()
+    assert len(shared) == 1 and shared[0]["files"] == ["b.py"]
+    # a.py-only nodes are gone
+    assert state.nodes.filter(F.col("id") == "module:a.py").count() == 0
+    assert state.edges.filter(F.col("path") == "a.py").count() == 0
+
+
+def test_structured_streaming_foreachbatch(spark, tmp_path):
+    indir = str(tmp_path / "in")
+    statedir = str(tmp_path / "state")
+    corpus_df(spark, [("r", "a.py", FILE_A_V1)]).write.mode("append").parquet(indir)
+    stream, state = start_streaming_maintenance(spark, indir, statedir, trigger_seconds=0.5)
+
+    def latest_nodes():
+        try:
+            with open(f"{statedir}/LATEST") as f:
+                vdir = f.read().strip()
+            return spark.read.parquet(f"{vdir}/nodes")
+        except Exception:
+            return None
+
+    try:
+        deadline = time.time() + 60
+        ok = False
+        while time.time() < deadline:
+            nodes = latest_nodes()
+            if nodes is not None and nodes.filter(
+                F.col("id") == "function:shared_func"
+            ).count() > 0:
+                ok = True
+                break
+            time.sleep(1)
+        assert ok, "streaming maintenance never materialized nodes"
+        # second micro-batch: new file arrives
+        corpus_df(spark, [("r", "b.py", FILE_B)]).write.mode("append").parquet(indir)
+        deadline = time.time() + 60
+        ok = False
+        while time.time() < deadline:
+            nodes = latest_nodes()
+            if nodes is not None:
+                row = nodes.filter(F.col("id") == "function:shared_func").collect()
+                if row and len(row[0]["files"]) == 2:
+                    ok = True
+                    break
+            time.sleep(1)
+        assert ok, "second micro-batch not applied"
+    finally:
+        stream.stop()
