@@ -54,15 +54,39 @@ def shingles(text: Column, k: int = 5) -> Column:
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 32, k: int = 5) -> Column:
-    """Array of num_hashes minima over shingle hashes — all JVM-side
-    (aggregate over transform), no UDF."""
-    sh = shingles(text, k)
-    mins = [
-        F.array_min(F.transform(sh, lambda s, i=i: _md5_long(s, i)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """(key, sig array<long>) minhash signature table.
+
+    Shape: explode shingles → num_hashes md5-derived hash columns → one
+    hash aggregation of mins per key. All JVM-side; the group-by gets
+    map-side partial aggregation, so the shuffle carries one row per
+    (key-partition, key) — the scalable formulation.
+
+    Deliberately NOT expressed as parallel ``transform(...array_min...)``
+    column expressions: composing many higher-order functions over one
+    shared lambda-produced array triggers a PySpark/Catalyst lambda-
+    variable collision (observed on 4.1.2: the 8 salted transforms
+    cross-talk and yield partitioning-dependent garbage; regression test
+    tests/test_pipelines.py::test_minhash_signature_matches_hashlib).
+    """
+    sh = docs.select(
+        F.col(key_col).alias("key"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    hashed = sh.select(
+        "key", *[_md5_long(F.col("s"), i).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    agg = hashed.groupBy("key").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "key", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -75,10 +99,7 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via banded minhash."""
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(key_col).alias("key"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
-    )
+    sig = minhash_signatures(docs, text_col, key_col, num_hashes, k)
     banded = sig.select(
         "key",
         F.posexplode(

@@ -200,3 +200,72 @@ def test_secret_annotation_range_join(spark):
     assert out["function:f"]["hasSecret"] is True
     assert out["function:g"]["hasSecret"] is False
     assert len(out["function:f"]["secretWarnings"]) >= 1
+
+
+def test_minhash_signature_matches_hashlib(spark, docs):
+    """Regression: Spark minhash signatures must equal the hashlib/md5
+    ground truth per row. Guards against the PySpark 4.1.2 higher-order-
+    function lambda collision (parallel transform+array_min over a shared
+    lambda-produced array yields partitioning-dependent garbage), which
+    the explode+aggregate formulation in dedup.minhash_signatures avoids."""
+    import hashlib
+    import re
+
+    from graph_engine_spark.pipelines.dedup import minhash_signatures
+
+    sample = docs.limit(50)
+    got = {
+        r["key"]: list(r["sig"])
+        for r in minhash_signatures(
+            sample, text_col="text", key_col="doc_id", num_hashes=8, k=5
+        ).collect()
+    }
+
+    def py_sig(text, num_hashes=8, k=5):
+        words = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        sh = (
+            [" ".join(words)]
+            if len(words) < k
+            else [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        )
+        return [
+            min(
+                int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+                for s in sh
+            )
+            for i in range(num_hashes)
+        ]
+
+    for r in sample.collect():
+        assert got[r["doc_id"]] == py_sig(r["text"]), r["doc_id"]
+
+
+def test_lsh_bucket_signature_matches_python(spark, embeddings):
+    """Regression: random-hyperplane LSH signatures equal the pure-python
+    computation (same deterministic hyperplanes) — guards the composed
+    aggregate/zip_with expressions in similarity.lsh_bucket_signature
+    against the same lambda-collision class."""
+    from graph_engine_spark.pipelines.similarity import (
+        _hyperplane,
+        lsh_bucket_signature,
+    )
+
+    sample = embeddings.limit(100)
+    dim, planes = 64, 6
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in sample.select(
+            "vec_id",
+            lsh_bucket_signature(
+                F.col("embedding").cast("array<double>"), dim, planes
+            ).alias("sig"),
+        ).collect()
+    }
+    hp = [_hyperplane(dim, p) for p in range(planes)]
+    for r in sample.collect():
+        v = [float(x) for x in r["embedding"]]
+        expect = 0
+        for p in range(planes):
+            if sum(a * b for a, b in zip(v, hp[p])) > 0:
+                expect |= 1 << p
+        assert got[r["vec_id"]] == expect, r["vec_id"]
