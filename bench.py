@@ -85,6 +85,12 @@ def main() -> None:
         "token_count",
         "embedding_topk",
         "two_hop",
+        "minhash_lsh",
+        "simhash",
+        "ann_lsh_topk",
+        "secret_scan",
+        "lang_id",
+        "window_rank_greedy",
     ):
         t, df = timed(lambda name=name: q[name](spark, SF_DIR))
         t2, _ = timed(df.collect)

@@ -46,7 +46,13 @@ def _det_rand(i: int, salt: int) -> int:
     return x
 
 
-def plan_file(i: int, n_files: int, n_components: int, hubs_per_component: int) -> dict:
+def plan_file(
+    i: int,
+    n_files: int,
+    n_components: int,
+    hubs_per_component: int,
+    imports_per_file: int = 3,
+) -> dict:
     """Pure-python plan for file i: name, language, and import targets.
 
     Returns module indices (not names) so tests can reconstruct the
@@ -82,6 +88,15 @@ def plan_file(i: int, n_files: int, n_components: int, hubs_per_component: int) 
     imports = []
     for t in (succ, hub, extra):
         if t != i and t not in imports:
+            imports.append(t)
+    # density knob beyond the base succ/hub/extra triple: extra
+    # deterministic intra-component imports so benchmark graphs can be
+    # made compute-bound (supersteps dominated by edge work, not task
+    # scheduling) without changing the base topology tests rely on.
+    comp_size = max(1, (n_files - comp + c - 1) // c)
+    for j in range(3, imports_per_file):
+        t = comp + c * (_det_rand(i, 100 + j) % comp_size)
+        if t < n_files and t != i and t not in imports:
             imports.append(t)
     return {
         "index": i,
@@ -157,8 +172,14 @@ def _render_js(plan: dict, ts: bool) -> str:
     return "\n".join(lines)
 
 
-def render_file(i: int, n_files: int, n_components: int, hubs_per_component: int) -> dict:
-    plan = plan_file(i, n_files, n_components, hubs_per_component)
+def render_file(
+    i: int,
+    n_files: int,
+    n_components: int,
+    hubs_per_component: int,
+    imports_per_file: int = 3,
+) -> dict:
+    plan = plan_file(i, n_files, n_components, hubs_per_component, imports_per_file)
     lang = plan["lang"]
     if lang == "python":
         content = _render_python(plan)
@@ -176,6 +197,7 @@ def synthesize_corpus(
     n_components: int = 5,
     hubs_per_component: int = 4,
     partitions: int | None = None,
+    imports_per_file: int = 3,
 ) -> DataFrame:
     """Distributed deterministic corpus: same bytes at any parallelism."""
     if partitions is None:
@@ -184,7 +206,7 @@ def synthesize_corpus(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                render_file(int(i), n_files, n_components, hubs_per_component)
+                render_file(int(i), n_files, n_components, hubs_per_component, imports_per_file)
                 for i in pdf["id"]
             ]
             yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
@@ -193,12 +215,17 @@ def synthesize_corpus(
     return base.mapInPandas(gen, schema=CORPUS_SCHEMA)
 
 
-def expected_module_edges(n_files: int, n_components: int = 5, hubs_per_component: int = 4):
+def expected_module_edges(
+    n_files: int,
+    n_components: int = 5,
+    hubs_per_component: int = 4,
+    imports_per_file: int = 3,
+):
     """Driver-side oracle for tests: the designed module-level link graph
     as (src_index, dst_index) pairs. Small-scale use only."""
     out = set()
     for i in range(n_files):
-        plan = plan_file(i, n_files, n_components, hubs_per_component)
+        plan = plan_file(i, n_files, n_components, hubs_per_component, imports_per_file)
         for t in plan["imports"]:
             out.add((i, t))
     return sorted(out)

@@ -44,6 +44,35 @@ def vertices(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     )
 
 
+#: target edges per partition for iterative superstep loops. Small
+#: enough that a partition's contribution explode + partial aggregate
+#: fits comfortably in executor memory; large enough that per-task
+#: scheduling overhead (~10-20 ms) is noise against per-task compute.
+#: Measured on local[32]: a 60k-edge graph at 64 partitions spends
+#: ~11 s/superstep on scheduling; at auto-sized 1 partition, <0.5 s.
+EDGES_PER_PARTITION = 250_000
+
+
+def auto_partitions(
+    edges: DataFrame,
+    edges_per_partition: int = EDGES_PER_PARTITION,
+    max_partitions: int | None = None,
+) -> int:
+    """Partition count for an iterative loop, sized from the edge count.
+
+    One count() action — callers should persist the edge table first (the
+    iterative algorithms re-reference it every superstep anyway). The cap
+    defaults to the session's shuffle partitions; a 1000-executor job
+    passes an explicit num_partitions instead of relying on this.
+    """
+    if max_partitions is None:
+        max_partitions = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    n = edges.count()
+    return max(1, min(max_partitions, -(-n // edges_per_partition)))
+
+
 def build_adjacency(
     edges: DataFrame,
     num_partitions: int,

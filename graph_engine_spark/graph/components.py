@@ -77,12 +77,15 @@ def connected_components(
     max_iter: int = 50,
     checkpoint: CheckpointManager | None = None,
     method: str = "two_phase",
+    num_partitions: int | None = None,
 ) -> ComponentsResult:
     """(id, component) with component = min vertex id in the component."""
+    from graph_engine_spark.graph.adjacency import auto_partitions
+
     spark = edges.sparkSession
-    loop_conf = _IterLoopConf(
-        spark, int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    if num_partitions is None:
+        num_partitions = auto_partitions(edges)
+    loop_conf = _IterLoopConf(spark, num_partitions)
     try:
         return _connected_components(
             edges, src, dst, max_iter, checkpoint, method

@@ -39,11 +39,14 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 10,
+    num_partitions: int | None = None,
 ) -> LPAResult:
+    from graph_engine_spark.graph.adjacency import auto_partitions
+
     spark = edges.sparkSession
-    loop_conf = _IterLoopConf(
-        spark, int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    if num_partitions is None:
+        num_partitions = auto_partitions(edges)
+    loop_conf = _IterLoopConf(spark, num_partitions)
     try:
         return _label_propagation(edges, src, dst, max_iter)
     finally:

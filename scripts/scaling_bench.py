@@ -26,6 +26,7 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["REPO_DIR"])
 cores = int(sys.argv[1]); n_files = int(sys.argv[2])
+imports = int(sys.argv[3]); partitions = int(sys.argv[4])
 from graph_engine_spark.session import get_spark
 from graph_engine_spark.corpus import synthesize_corpus
 from graph_engine_spark.extractor import extract_graph
@@ -34,14 +35,20 @@ from graph_engine_spark.graph.pagerank import pagerank
 
 spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
 spark.sparkContext.setLogLevel("ERROR")
-corpus = synthesize_corpus(spark, n_files=n_files, n_components=5, hubs_per_component=4)
+# identical input bytes and identical partition count at both
+# parallelism levels: only the number of concurrently executing tasks
+# changes, the sandbox analogue of N vs 4N executors over one dataset.
+corpus = synthesize_corpus(
+    spark, n_files=n_files, n_components=5, hubs_per_component=4,
+    partitions=64, imports_per_file=imports,
+)
 t0 = time.time()
 _, edges = extract_graph(corpus)
 mg = module_link_graph(edges).persist()
 n_edges = mg.count()
 t_setup = time.time() - t0
 t0 = time.time()
-res = pagerank(mg, tol=1e-6, max_iter=200)
+res = pagerank(mg, tol=1e-6, max_iter=200, num_partitions=partitions)
 t_pr = time.time() - t0
 print(json.dumps({
     "cores": cores, "files": n_files, "link_edges": n_edges,
@@ -53,10 +60,10 @@ print(json.dumps({
 """
 
 
-def run(cores: int, files: int) -> dict:
+def run(cores: int, files: int, args_imports: int, args_partitions: int) -> dict:
     env = dict(os.environ, REPO_DIR=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cores), str(files)],
+        [sys.executable, "-c", CHILD, str(cores), str(files), str(args_imports), str(args_partitions)],
         capture_output=True,
         text=True,
         env=env,
@@ -71,13 +78,20 @@ def run(cores: int, files: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="small parallelism (large = 4n)")
-    ap.add_argument("--files", type=int, default=20000)
+    ap.add_argument("--files", type=int, default=150000)
+    ap.add_argument("--imports", type=int, default=40,
+                    help="imports per file (graph density; compute-bound supersteps)")
+    ap.add_argument("--partitions", type=int, default=32,
+                    help="fixed loop partition count at BOTH levels")
     args = ap.parse_args()
 
-    small = run(args.n, args.files)
-    large = run(args.n * 4, args.files)
+    small = run(args.n, args.files, args.imports, args.partitions)
+    large = run(args.n * 4, args.files, args.imports, args.partitions)
     eff = (large["edges_per_sec"] / small["edges_per_sec"]) / 4
     report = {
+        "files": args.files,
+        "imports_per_file": args.imports,
+        "loop_partitions": args.partitions,
         "n_cores": small,
         "four_n_cores": large,
         "scaling_efficiency": round(eff, 4),
