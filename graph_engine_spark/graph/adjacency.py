@@ -44,13 +44,15 @@ def vertices(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     )
 
 
-#: target edges per partition for iterative superstep loops. Small
-#: enough that a partition's contribution explode + partial aggregate
-#: fits comfortably in executor memory; large enough that per-task
-#: scheduling overhead (~10-20 ms) is noise against per-task compute.
-#: Measured on local[32]: a 60k-edge graph at 64 partitions spends
-#: ~11 s/superstep on scheduling; at auto-sized 1 partition, <0.5 s.
-EDGES_PER_PARTITION = 250_000
+#: target edges per partition for iterative superstep loops, capped at
+#: the session's shuffle-partition setting (so cluster jobs never exceed
+#: their configured parallelism). Measured on local[32], 60k-edge graph:
+#: 64 partitions → ~11 s/superstep (pure task-scheduling overhead);
+#: 1 partition → serializes window/sort-heavy supersteps (LPA 45 s);
+#: anywhere in 2–16 → ~0.45 s/superstep. 8k per partition keeps tasks
+#: ≥~100 ms of real work while engaging all cores once the graph is
+#: non-trivial.
+EDGES_PER_PARTITION = 8_000
 
 
 def auto_partitions(

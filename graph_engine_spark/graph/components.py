@@ -126,8 +126,11 @@ def _connected_components(
             e = checkpoint.save(e, it, {"phase": "cc"}).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-        elif it % 4 == 0:
-            e = e.localCheckpoint(eager=True)  # truncate iterative lineage
+        elif it % 2 == 0:
+            # truncate iterative lineage: the convergence check references
+            # e twice (both exceptAll directions), so plan size doubles
+            # per round without truncation (see pagerank.py)
+            e = e.localCheckpoint(eager=True)
         if not changed:
             converged = True
             break
@@ -179,7 +182,7 @@ def _hash_min(edges, verts, src, dst, max_iter) -> ComponentsResult:
         labels.unpersist()
         labels = new_labels
         it += 1
-        if it % 8 == 0:
+        if it % 2 == 0:
             labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             converged = True

@@ -91,7 +91,9 @@ def _label_propagation(edges, src, dst, max_iter) -> LPAResult:
         labels.unpersist()
         labels = new_labels
         it += 1
-        if it % 8 == 0:
+        if it % 2 == 0:
+            # change-detection joins labels twice per superstep → plan
+            # doubles without truncation (see pagerank.py)
             labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             converged = True

@@ -28,7 +28,30 @@ class TriangleResult:
     per_vertex: DataFrame  # (id, triangles)
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> TriangleResult:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+) -> TriangleResult:
+    """Exact triangle count. num_partitions pins the shuffle width for
+    the wedge join; auto-sized finer than the iterative loops because
+    wedge volume is superlinear in edges (measured on a 60k-edge hub
+    graph at local[32]: 64 shuffle partitions → 55 s, 16 → 7 s)."""
+    from graph_engine_spark.graph.adjacency import auto_partitions
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = auto_partitions(edges, edges_per_partition=4_000)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        return _triangle_count(edges, src, dst)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def _triangle_count(edges: DataFrame, src: str, dst: str) -> TriangleResult:
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
