@@ -642,8 +642,13 @@ def _sql_hex15_to_long(col: str) -> str:
 def _minhash_oracle(final_select: str, extra_cte: str = "") -> str:
     """Shared WITH-prefix replicating pipelines/dedup.py minhash
     (num_hashes=8, bands=4, k=5) over documents ∪ planted near-dups."""
-    hx_cols = ", ".join(f"substr(md5('{i}:' || s), 1, 15) AS x{i}" for i in range(8))
-    hv_cols = ", ".join(f"{_sql_hex15_to_long(f'x{i}')} AS h{i}" for i in range(8))
+    from graph_engine_spark.pipelines.dedup import mix_constants
+
+    def mix_sql(i: int) -> str:
+        a, b, c = mix_constants(i)
+        return f"({a} * (H >> 30) + {b} * (H & 1073741823) + {c})"
+
+    hv_cols = ", ".join(f"{mix_sql(i)} AS h{i}" for i in range(8))
     sig_cols = ", ".join(f"min(h{i}) AS m{i}" for i in range(8))
     band_cases = " ".join(
         f"WHEN {b} THEN m{2 * b}::VARCHAR || '_' || m{2 * b + 1}::VARCHAR"
@@ -666,8 +671,9 @@ sh AS (
   FROM norm
 ),
 shx AS (SELECT key, unnest(shingles) AS s FROM sh),
-hx AS (SELECT key, s, {hx_cols} FROM shx),
-hv AS (SELECT key, {hv_cols} FROM hx),
+hx AS (SELECT key, substr(md5('0:' || s), 1, 15) AS x FROM shx),
+hb AS (SELECT key, {_sql_hex15_to_long('x')} AS H FROM hx),
+hv AS (SELECT key, {hv_cols} FROM hb),
 sig AS (SELECT key, {sig_cols} FROM hv GROUP BY key),
 banded AS (
   SELECT key, b AS band, CASE b {band_cases} END AS bucket

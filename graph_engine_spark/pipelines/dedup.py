@@ -33,6 +33,37 @@ def _md5_long(c: Column, salt: int) -> Column:
     ).cast("long")
 
 
+_MASK30 = (1 << 30) - 1
+
+
+def mix_constants(i: int) -> tuple[int, int, int]:
+    """Deterministic split-mix constants for hash family member i —
+    driver-side Python (sha256 of the index), identical in the engine
+    and in any oracle that imports this function."""
+    import hashlib
+
+    h = hashlib.sha256(f"minhash:{i}".encode()).digest()
+    a = (int.from_bytes(h[0:4], "big") & ((1 << 29) - 1)) | 1
+    b = (int.from_bytes(h[4:8], "big") & ((1 << 29) - 1)) | 1
+    c = int.from_bytes(h[8:15], "big") & ((1 << 56) - 1)
+    return a, b, c
+
+
+def mix_hash(base: Column, i: int) -> Column:
+    """Affine split-mix of a 60-bit base hash: family member i is
+    a_i·(H>>30) + b_i·(H&mask30) + c_i. All terms stay below 2^61, so
+    the arithmetic never overflows a signed 64-bit integer — the same
+    expression is exact in Spark longs and DuckDB BIGINTs (no engine-
+    specific wraparound semantics to reconcile). One md5 per input row
+    serves the whole hash family (8-32x less hashing than salted md5)."""
+    a, b, c = mix_constants(i)
+    return (
+        F.lit(a) * F.shiftright(base, 30)
+        + F.lit(b) * base.bitwiseAND(F.lit(_MASK30))
+        + F.lit(c)
+    ).cast("long")
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """One survivor per identical content: min(key) per sha256(text)."""
     return (
@@ -78,8 +109,9 @@ def minhash_signatures(
     sh = docs.select(
         F.col(key_col).alias("key"), F.explode(shingles(F.col(text_col), k)).alias("s")
     )
-    hashed = sh.select(
-        "key", *[_md5_long(F.col("s"), i).alias(f"h{i}") for i in range(num_hashes)]
+    based = sh.select("key", _md5_long(F.col("s"), 0).alias("H"))
+    hashed = based.select(
+        "key", *[mix_hash(F.col("H"), i).alias(f"h{i}") for i in range(num_hashes)]
     )
     agg = hashed.groupBy("key").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]

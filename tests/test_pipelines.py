@@ -221,6 +221,8 @@ def test_minhash_signature_matches_hashlib(spark, docs):
         ).collect()
     }
 
+    from graph_engine_spark.pipelines.dedup import mix_constants
+
     def py_sig(text, num_hashes=8, k=5):
         words = re.sub(r"\s+", " ", text).strip().lower().split(" ")
         sh = (
@@ -228,13 +230,16 @@ def test_minhash_signature_matches_hashlib(spark, docs):
             if len(words) < k
             else [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
         )
-        return [
-            min(
-                int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
-                for s in sh
-            )
-            for i in range(num_hashes)
+        bases = [
+            int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16) for s in sh
         ]
+        out = []
+        for i in range(num_hashes):
+            a, b, c = mix_constants(i)
+            out.append(
+                min(a * (H >> 30) + b * (H & ((1 << 30) - 1)) + c for H in bases)
+            )
+        return out
 
     for r in sample.collect():
         assert got[r["doc_id"]] == py_sig(r["text"]), r["doc_id"]
