@@ -62,6 +62,11 @@ def main() -> None:
     t_pr, pr = timed(lambda: pagerank(mg, tol=1e-6, max_iter=200))
     queries["pagerank_to_1e6"] = round(t_pr, 3)
 
+    # salting evidence: same 6 supersteps with and without explicit hub
+    # salting on the skewed corpus (hub modules take ~half of all imports)
+    t_salt6, _ = timed(lambda: pagerank(mg, tol=-1.0, max_iter=6, salt_buckets=8))
+    t_plain6, _ = timed(lambda: pagerank(mg, tol=-1.0, max_iter=6))
+
     t_cc, cc = timed(lambda: connected_components(mg))
     cc.components.count()
     queries["connected_components"] = round(t_cc, 3)
@@ -118,6 +123,8 @@ def main() -> None:
             else None,
             "cc_iterations": cc.iterations,
             "triangles": tri.total,
+            "salted_6steps_sec": round(t_salt6, 3),
+            "unsalted_6steps_sec": round(t_plain6, 3),
         },
     }
     print(json.dumps(result))

@@ -42,7 +42,7 @@ def _extract_batches_impl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             pdf["repo"], pdf["path"], pdf["lang"], pdf["content"], pdf["content_hash"]
         ):
             nodes, edges = extract_file(path, lang, content)
-            for nid, ntype, name, start, end in nodes:
+            for nid, ntype, name, start, end, params in nodes:
                 rows.append(
                     (
                         "node",
@@ -57,11 +57,13 @@ def _extract_batches_impl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                         start,
                         end,
                         chash if ntype == "module" else None,
+                        params,
                     )
                 )
             for src, dst, etype in edges:
                 rows.append(
-                    ("edge", None, None, None, src, dst, etype, repo, path, None, None, None)
+                    ("edge", None, None, None, src, dst, etype, repo, path,
+                     None, None, None, None)
                 )
         yield pd.DataFrame(rows, columns=_IR_COLS)
 
@@ -89,10 +91,11 @@ def dedupe_nodes(ir: DataFrame) -> DataFrame:
             F.max("end_line").alias("end_line"),
             F.array_sort(F.collect_set("path")).alias("files"),
             F.min("content_hash").alias("content_hash"),
+            F.min("params").alias("params"),
         )
         .select(
             "id", "type", "name", "repo", "path",
-            "start_line", "end_line", "files", "content_hash",
+            "start_line", "end_line", "files", "content_hash", "params",
         )
     )
 
@@ -116,7 +119,7 @@ def merge_nodes(nodes: DataFrame) -> DataFrame:
     node id."""
     exploded = nodes.select(
         "id", "type", "name", "repo", "path",
-        "start_line", "end_line", "content_hash",
+        "start_line", "end_line", "content_hash", "params",
         F.explode("files").alias("file"),
     )
     return (
@@ -130,10 +133,11 @@ def merge_nodes(nodes: DataFrame) -> DataFrame:
             F.max("end_line").alias("end_line"),
             F.array_sort(F.collect_set("file")).alias("files"),
             F.min("content_hash").alias("content_hash"),
+            F.min("params").alias("params"),
         )
         .select(
             "id", "type", "name", "repo", "path",
-            "start_line", "end_line", "files", "content_hash",
+            "start_line", "end_line", "files", "content_hash", "params",
         )
     )
 

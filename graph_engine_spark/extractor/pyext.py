@@ -46,11 +46,24 @@ def _call_id(path: str, line: int, col: int, name: str) -> str:
     return f"call:{h}"
 
 
-def _node(nodes, node_id, ntype, name, start, end):
+def _node(nodes, node_id, ntype, name, start, end, params=None):
     # first-write-wins per file, mirroring reference _add_node dedup
     # (tree_sitter_parser.py:879-881)
     if node_id not in nodes:
-        nodes[node_id] = (node_id, ntype, name, start, end)
+        nodes[node_id] = (node_id, ntype, name, start, end, params)
+
+
+def _py_params(fn) -> list:
+    """Parameter names of a FunctionDef (reference nodes optionally carry
+    a 'parameters' list scanned by find_functions_by_keyword,
+    mcp_integration.py:279-284)."""
+    a = fn.args
+    out = [x.arg for x in (*a.posonlyargs, *a.args, *a.kwonlyargs)]
+    if a.vararg:
+        out.append("*" + a.vararg.arg)
+    if a.kwarg:
+        out.append("**" + a.kwarg.arg)
+    return out
 
 
 def _edge(edges, src, dst, etype):
@@ -91,7 +104,8 @@ def extract_python(path: str, content: str):
         for child in ast.iter_child_nodes(node):
             if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
                 fid = f"function:{child.name}"
-                _node(nodes, fid, "function", child.name, child.lineno, child.end_lineno)
+                _node(nodes, fid, "function", child.name, child.lineno,
+                      child.end_lineno, _py_params(child))
                 if class_id is not None:
                     _edge(edges, fid, class_id, "member_of")
                 if scope_id is None:
@@ -136,15 +150,19 @@ def extract_python(path: str, content: str):
 
 # --- JS / TS regex extraction (reference fallback path, extended) ---
 
-_JS_FUNC = re.compile(r"function\s+([a-zA-Z_$][a-zA-Z0-9_$]*)\s*\(")
+_JS_FUNC = re.compile(r"function\s+([a-zA-Z_$][a-zA-Z0-9_$]*)\s*\(([^)]*)\)")
 _JS_CLASS = re.compile(
     r"class\s+([a-zA-Z_$][a-zA-Z0-9_$]*)(?:\s+extends\s+([a-zA-Z_$][a-zA-Z0-9_$.]*))?"
 )
 _JS_IMPORT = re.compile(r"""import\s+(?:[^'"]*?\s+from\s+)?['"]([^'"]+)['"]""")
 _JS_REQUIRE = re.compile(r"""require\s*\(\s*['"]([^'"]+)['"]\s*\)""")
 _JS_ARROW = re.compile(
-    r"(?:const|let|var)\s+([a-zA-Z_$][a-zA-Z0-9_$]*)\s*=\s*(?:async\s*)?\([^)]*\)\s*=>"
+    r"(?:const|let|var)\s+([a-zA-Z_$][a-zA-Z0-9_$]*)\s*=\s*(?:async\s*)?\(([^)]*)\)\s*=>"
 )
+
+
+def _js_params(raw: str) -> list:
+    return [p.strip().split("=")[0].strip() for p in raw.split(",") if p.strip()]
 
 
 def extract_js(path: str, content: str):
@@ -160,14 +178,12 @@ def extract_js(path: str, content: str):
     def line_of(pos: int) -> int:
         return content.count("\n", 0, pos) + 1
 
-    for m in _JS_FUNC.finditer(content):
-        fid = f"function:{m.group(1)}"
-        _node(nodes, fid, "function", m.group(1), line_of(m.start()), line_of(m.start()) + 1)
-        _edge(edges, module_id, fid, "contains")
-    for m in _JS_ARROW.finditer(content):
-        fid = f"function:{m.group(1)}"
-        _node(nodes, fid, "function", m.group(1), line_of(m.start()), line_of(m.start()) + 1)
-        _edge(edges, module_id, fid, "contains")
+    for rx in (_JS_FUNC, _JS_ARROW):
+        for m in rx.finditer(content):
+            fid = f"function:{m.group(1)}"
+            _node(nodes, fid, "function", m.group(1), line_of(m.start()),
+                  line_of(m.start()) + 1, _js_params(m.group(2)))
+            _edge(edges, module_id, fid, "contains")
     for m in _JS_CLASS.finditer(content):
         cid = f"class:{m.group(1)}"
         _node(nodes, cid, "class", m.group(1), line_of(m.start()), line_of(m.start()) + 1)

@@ -78,8 +78,15 @@ def connected_components(
     checkpoint: CheckpointManager | None = None,
     method: str = "two_phase",
     num_partitions: int | None = None,
+    resume: bool = False,
 ) -> ComponentsResult:
-    """(id, component) with component = min vertex id in the component."""
+    """(id, component) with component = min vertex id in the component.
+
+    checkpoint/resume: the alternating-star edge set is the loop state;
+    every k rounds it is written with a per-partition lineage manifest,
+    and resume=True restarts from the newest complete checkpoint
+    (same contract as pagerank).
+    """
     from graph_engine_spark.graph.adjacency import auto_partitions
 
     spark = edges.sparkSession
@@ -88,7 +95,7 @@ def connected_components(
     loop_conf = _IterLoopConf(spark, num_partitions)
     try:
         return _connected_components(
-            edges, src, dst, max_iter, checkpoint, method
+            edges, src, dst, max_iter, checkpoint, method, resume
         )
     finally:
         loop_conf.restore()
@@ -101,19 +108,28 @@ def _connected_components(
     max_iter: int,
     checkpoint: CheckpointManager | None,
     method: str,
+    resume: bool = False,
 ) -> ComponentsResult:
+    spark = edges.sparkSession
     verts = vertex_ids(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
 
     if method == "hash_min":
         return _hash_min(edges, verts, src, dst, max_iter)
 
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     it = 0
+    e = None
+    if resume and checkpoint is not None:
+        state = checkpoint.resume(spark)
+        if state is not None:
+            it, e, _ = state
+            e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    if e is None:
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     converged = False
     while it < max_iter:
         e2 = _small_star(_large_star(e)).persist(StorageLevel.MEMORY_AND_DISK)

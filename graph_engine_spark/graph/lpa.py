@@ -40,6 +40,8 @@ def label_propagation(
     dst: str = "dst",
     max_iter: int = 10,
     num_partitions: int | None = None,
+    checkpoint=None,
+    resume: bool = False,
 ) -> LPAResult:
     from graph_engine_spark.graph.adjacency import auto_partitions
 
@@ -48,12 +50,13 @@ def label_propagation(
         num_partitions = auto_partitions(edges)
     loop_conf = _IterLoopConf(spark, num_partitions)
     try:
-        return _label_propagation(edges, src, dst, max_iter)
+        return _label_propagation(edges, src, dst, max_iter, checkpoint, resume)
     finally:
         loop_conf.restore()
 
 
-def _label_propagation(edges, src, dst, max_iter) -> LPAResult:
+def _label_propagation(edges, src, dst, max_iter, checkpoint=None, resume=False) -> LPAResult:
+    spark = edges.sparkSession
     verts = vertex_ids(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -62,9 +65,16 @@ def _label_propagation(edges, src, dst, max_iter) -> LPAResult:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = verts.select("id", F.col("id").alias("label")).persist()
-    win = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
     it, converged = 0, False
+    labels = None
+    if resume and checkpoint is not None:
+        state = checkpoint.resume(spark)
+        if state is not None:
+            it, labels, _ = state
+            labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    if labels is None:
+        labels = verts.select("id", F.col("id").alias("label")).persist()
+    win = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
     while it < max_iter:
         votes = (
             sym.join(labels, sym.a == labels.id)
@@ -91,7 +101,11 @@ def _label_propagation(edges, src, dst, max_iter) -> LPAResult:
         labels.unpersist()
         labels = new_labels
         it += 1
-        if it % 2 == 0:
+        if checkpoint is not None and checkpoint.should_checkpoint(it):
+            labels = checkpoint.save(labels, it, {"changed": changed}).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        elif it % 2 == 0:
             # change-detection joins labels twice per superstep → plan
             # doubles without truncation (see pagerank.py)
             labels = labels.localCheckpoint(eager=True)

@@ -52,11 +52,15 @@ def search_nodes(nodes: DataFrame, keyword: str, limit: int | None = None) -> Da
 
 
 def find_functions_by_keyword(nodes: DataFrame, keyword: str, limit: int | None = None) -> DataFrame:
-    """Keyword over function name (reference mcp_integration.py:256-288;
-    the reference also scans a parameters list — our nodes carry name)."""
+    """Keyword over function name OR any parameter name
+    (reference mcp_integration.py:256-288, param scan 279-284)."""
     kw = keyword.lower()
+    param_hit = F.coalesce(
+        F.exists("params", lambda p: F.lower(p).contains(kw)), F.lit(False)
+    )
     out = nodes.filter(
-        (F.col("type") == "function") & F.lower(F.col("name")).contains(kw)
+        (F.col("type") == "function")
+        & (F.lower(F.col("name")).contains(kw) | param_hit)
     )
     return out.limit(limit) if limit else out
 

@@ -46,6 +46,7 @@ IR_SCHEMA = StructType(
         StructField("start_line", IntegerType(), True),  # 1-based
         StructField("end_line", IntegerType(), True),
         StructField("content_hash", StringType(), True),  # module nodes only
+        StructField("params", ArrayType(StringType()), True),  # function nodes
     ]
 )
 
@@ -60,6 +61,7 @@ NODES_SCHEMA = StructType(
         StructField("end_line", IntegerType(), True),
         StructField("files", ArrayType(StringType()), True),
         StructField("content_hash", StringType(), True),
+        StructField("params", ArrayType(StringType()), True),
     ]
 )
 

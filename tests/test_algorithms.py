@@ -206,3 +206,44 @@ def test_end_to_end_extract_then_rank(spark):
     # hub skew exists: top rank should be a hub module (index < c*h = 20)
     top = res.ranks.orderBy(F.desc("rank")).first()["id"]
     assert int(top.split("_")[1]) < 20
+
+
+def test_cc_checkpoint_resume(spark, tmp_path):
+    from graph_engine_spark.graph.checkpoint import CheckpointManager
+    from graph_engine_spark.graph.components import connected_components
+
+    pairs = ring(40) + star(12)
+    full = connected_components(edge_df(spark, pairs), num_partitions=4)
+    expect = {r["id"]: r["component"] for r in full.components.collect()}
+
+    ck = CheckpointManager(str(tmp_path / "cc_ck"), every_k=1)
+    partial = connected_components(
+        edge_df(spark, pairs), max_iter=1, num_partitions=4, checkpoint=ck
+    )
+    assert not partial.converged and ck.iterations() == [1]
+    resumed = connected_components(
+        edge_df(spark, pairs), num_partitions=4, checkpoint=ck, resume=True
+    )
+    assert resumed.converged
+    got = {r["id"]: r["component"] for r in resumed.components.collect()}
+    assert got == expect
+
+
+def test_lpa_checkpoint_resume(spark, tmp_path):
+    from graph_engine_spark.graph.checkpoint import CheckpointManager
+    from graph_engine_spark.graph.lpa import label_propagation
+
+    pairs = two_cliques_bridge(6)
+    full = label_propagation(edge_df(spark, pairs), max_iter=4, num_partitions=2)
+    expect = {r["id"]: r["label"] for r in full.labels.collect()}
+
+    ck = CheckpointManager(str(tmp_path / "lpa_ck"), every_k=2)
+    partial = label_propagation(
+        edge_df(spark, pairs), max_iter=2, num_partitions=2, checkpoint=ck
+    )
+    assert ck.iterations() == [2]
+    resumed = label_propagation(
+        edge_df(spark, pairs), max_iter=4, num_partitions=2, checkpoint=ck, resume=True
+    )
+    got = {r["id"]: r["label"] for r in resumed.labels.collect()}
+    assert got == expect

@@ -157,3 +157,17 @@ def test_corpus_deterministic_across_parallelism(spark):
     a = synthesize_corpus(spark, 50, partitions=2).orderBy("path").collect()
     b = synthesize_corpus(spark, 50, partitions=16).orderBy("path").collect()
     assert a == b
+
+
+def test_function_parameters_extracted():
+    """Function nodes carry parameter names (reference
+    mcp_integration.py:279-284 scans node['parameters'])."""
+    nodes, _ = extract_python("src/sample.py", PY_SAMPLE)
+    by_id = {n[0]: n for n in nodes}
+    assert by_id["function:__init__"][5] == ["self", "name"]
+    assert by_id["function:format_name"][5] == ["n"]
+    assert by_id["class:Person"][5] is None
+    jn, _ = extract_js("src/sample.js", JS_SAMPLE)
+    jby = {n[0]: n for n in jn}
+    assert jby["function:makeAnimal"][5] == ["kind"]
+    assert jby["function:arrowFn"][5] == ["x"]

@@ -122,3 +122,12 @@ def test_type_inventory(graph):
     assert {"module", "function", "class", "import", "file"} <= set(t)
     e = {r["edge_type"]: r["cnt"] for r in type_inventory(edges, "edge_type").collect()}
     assert {"contains", "imports", "calls", "inherits", "member_of"} <= set(e)
+
+
+def test_find_functions_by_param_keyword(graph):
+    nodes, _ = graph
+    # synthetic hub methods take 'self'; search by parameter name
+    got = find_functions_by_keyword(nodes, "self", limit=5).collect()
+    assert len(got) > 0
+    for r in got:
+        assert "self" in [p.lower() for p in (r["params"] or [])] or "self" in r["name"].lower()
