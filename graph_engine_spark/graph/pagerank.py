@@ -146,7 +146,13 @@ def pagerank(
     base = (1.0 - damping) / n
     while it < max_iter and delta > tol:
         t0 = time.time()
-        contribs = ranks.join(adj, ranks.id == adj.src, "inner").select(
+        # shuffle_hash hint: with broadcasts disabled (threshold -1) the
+        # planner can no longer select a shuffled hash join on its own —
+        # canBuildLocalHashMap is tied to the broadcast threshold — and
+        # silently degrades to sort-merge, re-SORTING the static cached
+        # adjacency every superstep. The hint restores SHJ with ranks as
+        # the build side (guarded by tests/test_plan_shapes.py).
+        contribs = ranks.hint("shuffle_hash").join(adj, ranks.id == adj.src, "inner").select(
             F.explode("dsts").alias("id"),
             (F.col("rank") / F.col("out_deg")).alias("contrib"),
         )

@@ -1,0 +1,143 @@
+"""Physical-plan shape guards (.explain assertions).
+
+Correctness tests prove WHAT is computed; these prove HOW — that the
+declarative plans keep the properties the 100 TB design relies on:
+filter/column pushdown into the Parquet scan, broadcast for point-query
+joins, TakeOrderedAndProject for top-k, and no per-superstep shuffle of
+the cached adjacency side in PageRank.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plan = plan_of(c.filter(F.col("c_custkey") == 42).select("c_custkey", "c_name"))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*c_custkey", plan), plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = plan_of(li.select("l_orderkey", "l_quantity"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_point_query_semijoin_broadcasts(spark, sf_dir):
+    """queries.surface.edges_for_nodes uses explicit broadcast()."""
+    from graph_engine_spark.queries.surface import edges_for_nodes
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_custkey").cast("string").alias("src"),
+            F.col("o_orderkey").cast("string").alias("dst"),
+            F.lit("calls").alias("edge_type"),
+        )
+    )
+    ids = spark.createDataFrame([("7",), ("11",)], ["id"])
+    plan = plan_of(edges_for_nodes(edges, ids))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    deg = o.groupBy(F.col("o_custkey").alias("id")).agg(F.count("*").alias("d"))
+    plan = plan_of(deg.orderBy(F.desc("d"), F.asc("id")).limit(20))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_limit_is_collect_limit(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(d.filter(F.col("source") == "wiki").limit(5))
+    assert "CollectLimit" in plan, plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """groupBy must show a partial hash aggregate below the exchange
+    (map-side combine) — the property that bounds shuffle volume."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(ev.groupBy("event_type").agg(F.count("*").alias("c")))
+    first_agg = plan.find("HashAggregate")
+    first_exchange = plan.find("Exchange")
+    assert first_agg != -1 and first_exchange != -1
+    # formatted plans list operators leaf-first: partial agg precedes exchange
+    assert "partial_count" in plan or "Partial" in plan, plan
+
+
+def test_pagerank_superstep_shuffles_only_rank_side(spark):
+    """The cached CSR adjacency must satisfy the superstep join's
+    distribution: the contribution join plan contains no Exchange on the
+    adjacency branch (only the rank side and the aggregation shuffle)."""
+    from graph_engine_spark.graph.adjacency import build_adjacency
+    from graph_engine_spark.graph.pagerank import _IterLoopConf
+
+    loop_conf = _IterLoopConf(spark, 4)  # the conf pagerank supersteps run under
+    try:
+        edges = spark.createDataFrame(
+            [(str(i), str((i * 3) % 40)) for i in range(200)], ["src", "dst"]
+        )
+        adj = build_adjacency(edges, num_partitions=4)
+        adj.count()  # materialize the cache
+        ranks = (
+            edges.select(F.col("src").alias("id")).distinct()
+            .repartition(4, "id")
+            .withColumn("rank", F.lit(1.0))
+        )
+        # same shape as pagerank's contribution join, incl. the
+        # shuffle_hash hint (without it, broadcast-threshold -1 also
+        # disables shuffled-hash selection and the planner silently
+        # degrades to sort-merge, re-sorting the static adjacency
+        # every superstep)
+        joined = ranks.hint("shuffle_hash").join(
+            adj, ranks.id == adj.src, "inner"
+        ).select(
+            F.explode("dsts").alias("id"),
+            (F.col("rank") / F.col("out_deg")).alias("c"),
+        )
+        plan = plan_of(joined)
+        # loop conf forbids broadcast (per-superstep driver broadcasts
+        # measured slower) — the join must be a shuffled hash join
+        assert "BroadcastExchange" not in plan, plan
+        assert "ShuffledHashJoin" in plan, plan
+        # the adjacency side must come from the cache with its persisted
+        # hash partitioning satisfying the join's distribution — exactly
+        # ONE live Exchange in the whole superstep plan (the rank side's).
+        # The Exchange inside the InMemoryRelation subtree is the one-time
+        # adjacency build, replayed from cache, not per-superstep work.
+        assert "InMemoryTableScan" in plan, plan
+        tree = plan.split("\n\n")[0].splitlines()
+        rel_indent = None
+        live_exchanges = 0
+        for line in tree:
+            indent = len(line) - len(line.lstrip(" :+-*"))
+            if rel_indent is not None and indent > rel_indent:
+                continue  # inside the cached InMemoryRelation subtree
+            rel_indent = None
+            if "InMemoryRelation" in line:
+                rel_indent = indent
+            elif "Exchange" in line:
+                live_exchanges += 1
+        assert live_exchanges == 1, plan
+        adj.unpersist()
+    finally:
+        loop_conf.restore()
