@@ -112,3 +112,60 @@ def test_structured_streaming_foreachbatch(spark, tmp_path):
         assert ok, "second micro-batch not applied"
     finally:
         stream.stop()
+
+
+def test_stateful_call_counts_across_restarts(spark, tmp_path):
+    """applyInPandasWithState call counters (reference manager.py:180-215):
+    counts and first/last timestamps accumulate across micro-batches AND
+    across query restarts (state survives in the checkpoint)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    from graph_engine_spark.streaming.callcounts import stateful_call_counts
+
+    schema = StructType(
+        [
+            StructField("src", StringType(), False),
+            StructField("dst", StringType(), False),
+            StructField("ts", DoubleType(), False),
+        ]
+    )
+    in_dir = str(tmp_path / "events")
+    ck_dir = str(tmp_path / "ck")
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+
+    def feed(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_round(qname):
+        latest = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                latest[(r["src"], r["dst"])] = (
+                    r["dynamic_call_count"], r["first_call_time"], r["last_call_time"]
+                )
+
+        events = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            stateful_call_counts(events)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return latest
+
+    feed([("f:a", "f:b", 10.0), ("f:a", "f:b", 12.0), ("f:x", "f:y", 11.0)], "b1")
+    got1 = run_round("cc_round1")
+    assert got1[("f:a", "f:b")] == (2, 10.0, 12.0)
+    assert got1[("f:x", "f:y")] == (1, 11.0, 11.0)
+
+    # restart the query on new data: state must carry over
+    feed([("f:a", "f:b", 9.0), ("f:a", "f:b", 20.0)], "b2")
+    got2 = run_round("cc_round2")
+    assert got2[("f:a", "f:b")] == (4, 9.0, 20.0)
