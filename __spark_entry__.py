@@ -426,6 +426,16 @@ def _q_embedding_near_dup(spark, sf_dir):
     return pairs.select("key_a", "key_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN top-k (pipelines/similarity.py): nearest-cell
+    assignment + nprobe cell pruning before any distance math."""
+    from graph_engine_spark.pipelines.similarity import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    top = ivf_topk(e, _QUERY_VEC, k=10, n_cells=8, nprobe=3)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def _q_window_rank_greedy(spark, sf_dir):
     """Ranking-window greedy best-match pattern (SURVEY.md §2.5 — the
     Spark mapping of the reference's greedy rename resolution,
@@ -546,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "window_rank_greedy": _q_window_rank_greedy,
         "rename_detection": _q_rename_detection,
@@ -870,6 +881,37 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def _ivf_oracle() -> str:
+    from graph_engine_spark.pipelines.similarity import ivf_centroids
+
+    n_cells, nprobe, dim = 8, 3, len(_QUERY_VEC)
+    cents = ivf_centroids(dim, n_cells)
+    dots = ", ".join(
+        f"list_dot_product(embedding::DOUBLE[], {_plane_lit(cents[c])}) AS d{c}"
+        for c in range(n_cells)
+    )
+    gmax = "greatest(" + ", ".join(f"d{c}" for c in range(n_cells)) + ")"
+    # first-match CASE = ties to the lowest cell index, matching the
+    # engine's (dot, prio) array_max
+    cell = "CASE " + " ".join(
+        f"WHEN d{c} >= {gmax} THEN {c}" for c in range(n_cells)
+    ) + " END"
+    order = sorted(
+        range(n_cells),
+        key=lambda c: (-sum(a * b for a, b in zip(_QUERY_VEC, cents[c])), c),
+    )
+    probe = ", ".join(str(c) for c in order[:nprobe])
+    return f"""
+WITH scored AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {dots} FROM embeddings
+),
+assigned AS (SELECT vec_id, v, {cell} AS cell FROM scored)
+SELECT vec_id, ROUND(list_cosine_similarity(v, {_plane_lit(_QUERY_VEC)}), 6) AS cosine
+FROM assigned WHERE cell IN ({probe})
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
 def _near_dup_oracle() -> str:
     return f"""
 WITH sigs AS (
@@ -1090,6 +1132,7 @@ FROM cand c JOIN shd a ON c.key_a = a.key JOIN shd b ON c.key_b = b.key""",
         ),
         "simhash": _simhash_oracle(16),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ivf_topk": _ivf_oracle(),
         "embedding_near_dup": _near_dup_oracle(),
         "window_rank_greedy": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (

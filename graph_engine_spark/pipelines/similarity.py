@@ -127,3 +127,72 @@ def all_pairs_above(
         cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+# --- IVF (inverted-file) coarse quantization ------------------------
+# Same plumbing as a trained IVF index: assign every vector to its
+# nearest coarse centroid (one narrow projection), store/partition by
+# cell, and answer queries by scanning only the nprobe closest cells.
+# Centroids here are deterministic unit vectors so the whole path is
+# reproducible and oracle-checkable; at scale, swap in MLlib KMeans
+# cluster centers — the assignment join and probe pruning are identical.
+
+def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:
+    return [_hyperplane(dim, 10_000 + c) for c in range(n_cells)]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """(key, v, cell): nearest-centroid assignment, ties to the lowest
+    cell index (deterministic). argmax via array_max over (dot, prio)
+    structs — each dot product appears once (no exponential fold)."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col]) if first else 0
+    cents = ivf_centroids(dim, n_cells)
+    v = F.col(vec_col).cast("array<double>")
+    scored = [
+        F.struct(
+            _dot(v, F.array(*[F.lit(x) for x in cents[c]])).alias("dot"),
+            F.lit(n_cells - 1 - c).alias("prio"),
+            F.lit(c).alias("cell"),
+        )
+        for c in range(n_cells)
+    ]
+    best = F.array_max(F.array(*scored))
+    return embeddings.select(
+        F.col(key_col).alias("key"), v.alias("v"), best["cell"].alias("cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k scanning only the nprobe cells whose centroids are
+    closest to the query — the partition-pruning path: with the vector
+    table written partitioned by cell, the probe list prunes the scan
+    to nprobe/n_cells of the data before any distance math."""
+    dim = len(query_vec)
+    cents = ivf_centroids(dim, n_cells)
+
+    def pydot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    order = sorted(range(n_cells), key=lambda c: (-pydot(query_vec, cents[c]), c))
+    probe = order[:nprobe]
+    assigned = ivf_assign(embeddings, n_cells, vec_col, key_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("cell").isin(probe))
+    scored = cand.select(
+        F.col("key").alias(key_col), cosine_similarity(F.col("v"), q).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(key_col)).limit(k)

@@ -274,3 +274,23 @@ def test_lsh_bucket_signature_matches_python(spark, embeddings):
             if sum(a * b for a, b in zip(v, hp[p])) > 0:
                 expect |= 1 << p
         assert got[r["vec_id"]] == expect, r["vec_id"]
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, embeddings):
+    """IVF with nprobe=3/8 cells must recover most of the exact top-10
+    (random-unit-centroid quantizer on ~isotropic data); results it does
+    return must carry exact cosines."""
+    from graph_engine_spark.pipelines.similarity import brute_force_topk, ivf_topk
+
+    q = [(1.0 if i % 3 == 0 else -0.3) for i in range(64)]
+    exact = brute_force_topk(embeddings, q, k=10)
+    approx = ivf_topk(embeddings, q, k=10, n_cells=8, nprobe=3)
+    exact_ids = [r["vec_id"] for r in exact.collect()]
+    rows = approx.collect()
+    got = {r["vec_id"]: r["cosine"] for r in rows}
+    recall = len(set(exact_ids) & set(got)) / 10
+    assert recall >= 0.5, (recall, exact_ids, sorted(got))
+    exact_cos = {r["vec_id"]: r["cosine"] for r in exact.collect()}
+    for vid, c in got.items():
+        if vid in exact_cos:
+            assert abs(c - exact_cos[vid]) < 1e-9
