@@ -50,14 +50,21 @@ def main() -> None:
 
     def _extract():
         nodes, edges = extract_graph(corpus)
-        return nodes.count(), edges.count(), edges
+        return nodes.count(), edges.count(), nodes, edges
 
-    t_extract, (n_nodes, n_edges, edges) = timed(_extract)
+    t_extract, (n_nodes, n_edges, nodes_df, edges) = timed(_extract)
     queries["extract_graph"] = round(t_extract, 3)
 
     t_mg, mg = timed(lambda: module_link_graph(edges).persist())
     n_link_edges = mg.count()
     queries["module_link_graph"] = round(t_mg, 3)
+
+    from graph_engine_spark.graph.linkgraph import function_call_graph
+
+    t_cg, cg = timed(lambda: function_call_graph(edges, nodes_df).persist())
+    n_call_edges = cg.count()
+    queries["function_call_graph"] = round(t_cg, 3)
+    cg.unpersist()
 
     t_pr, pr = timed(lambda: pagerank(mg, tol=1e-6, max_iter=200))
     queries["pagerank_to_1e6"] = round(t_pr, 3)
@@ -115,6 +122,7 @@ def main() -> None:
             "extracted_nodes": n_nodes,
             "extracted_edges": n_edges,
             "link_graph_edges": n_link_edges,
+            "call_graph_edges": n_call_edges,
             "pagerank_supersteps": pr_steps,
             "pagerank_converged": pr.converged,
             "pagerank_supersteps_per_sec": round(pr_steps / t_pr, 3) if t_pr else None,

@@ -56,3 +56,35 @@ def module_link_graph(
             modules, imports.imported == modules.module_name, "leftsemi"
         ).select("src", F.col("imported").alias("dst"))
     return resolved.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def function_call_graph(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    keep_external: bool = False,
+) -> DataFrame:
+    """Function-level call graph: (src, dst) pairs from 'calls' edges.
+
+    The extractor emits ``function:<caller> -calls-> function:<callee>``
+    with the callee taken from source text (reference
+    tree_sitter_parser.py:549-567) — callees may be undefined (stdlib,
+    third-party, attribute chains). By default those are dropped by a
+    semi-join against the defined function nodes, leaving the internal
+    call graph the iterative algorithms run on; ``keep_external=True``
+    keeps them as sink vertices.
+
+    Spark shape: one filter + (optionally) one broadcastable semi-join —
+    the defined-function dimension is small relative to the call fact
+    table.
+    """
+    calls = (
+        edges.filter(F.col("edge_type") == "calls")
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    if keep_external or nodes is None:
+        return calls.distinct()
+    defined = nodes.filter(F.col("type") == "function").select(
+        F.col("id").alias("dst")
+    )
+    return calls.join(F.broadcast(defined), "dst", "leftsemi").distinct()

@@ -171,3 +171,25 @@ def test_function_parameters_extracted():
     jby = {n[0]: n for n in jn}
     assert jby["function:makeAnimal"][5] == ["kind"]
     assert jby["function:arrowFn"][5] == ["x"]
+
+
+def test_function_call_graph(spark, small_graph):
+    from graph_engine_spark.graph.linkgraph import function_call_graph
+
+    corpus, nodes, edges = small_graph
+    g = function_call_graph(edges, nodes)
+    got = {(r["src"], r["dst"]) for r in g.collect()}
+    # non-hub python files define fn_i_0 -> fn_i_1 chains and
+    # method_i -> fn_i_0 calls (corpus.py _render_python)
+    assert any(
+        s.startswith("function:fn_") and d.startswith("function:fn_") for s, d in got
+    )
+    assert any(s.startswith("function:method_") for s, d in got)
+    # every dst resolves to a defined function node
+    defined = {
+        r["id"] for r in nodes.filter(F.col("type") == "function").collect()
+    }
+    assert all(d in defined for _, d in got)
+    # external callees (dotted module attributes) kept only on request
+    ext = function_call_graph(edges, nodes, keep_external=True)
+    assert ext.count() >= g.count()
