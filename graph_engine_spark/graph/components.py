@@ -131,10 +131,16 @@ def _connected_components(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     converged = False
+    e_count = e.count()
     while it < max_iter:
         e2 = _small_star(_large_star(e)).persist(StorageLevel.MEMORY_AND_DISK)
-        # convergence: edge sets equal (both directions of except empty)
-        changed = not e2.exceptAll(e).isEmpty() or not e.exceptAll(e2).isEmpty()
+        # convergence: both sets are distinct, so equal counts plus an
+        # empty one-direction difference proves set equality — one
+        # exceptAll scan instead of two (the count also materializes
+        # e2's cache for the next round)
+        e2_count = e2.count()
+        changed = e2_count != e_count or not e2.exceptAll(e).isEmpty()
+        e_count = e2_count
         e.unpersist()
         e = e2
         it += 1

@@ -51,9 +51,12 @@ class _IterLoopConf:
 
       * AQE off: identical static plan every superstep → the cached
         adjacency's hash partitioning is reused; no per-job re-planning.
-      * preferSortMergeJoin=false: shuffled hash join — rank⋈adjacency
-        and delta joins skip the per-iteration sorts; the build side
-        (ranks) is the smaller relation by construction.
+      * preferSortMergeJoin=false + the explicit shuffle_hash hint at
+        the join site: with broadcasts disabled the planner's own
+        shuffled-hash selection is also disabled (canBuildLocalHashMap
+        keys off the broadcast threshold), so without the hint every
+        superstep silently re-sorts the static adjacency under a
+        sort-merge join.
       * shuffle partitions pinned to the adjacency's partition count so
         every superstep's exchanges align with the cached layout.
 
@@ -91,6 +94,7 @@ class PageRankResult:
     delta: float
     converged: bool
     superstep_seconds: list = field(default_factory=list)
+    delta_history: list = field(default_factory=list)  # L1 delta per superstep
 
 
 def pagerank(
@@ -142,6 +146,7 @@ def pagerank(
 
     delta = float("inf")
     supersteps: list[float] = []
+    deltas: list[float] = []
     it = start_iter
     base = (1.0 - damping) / n
     while it < max_iter and delta > tol:
@@ -192,6 +197,7 @@ def pagerank(
             .collect()[0]
         )
         delta, dangling_mass = float(row["delta"]), float(row["dm"] or 0.0)
+        deltas.append(delta)
         ranks.unpersist()
         ranks = new_ranks
         it += 1
@@ -224,5 +230,5 @@ def pagerank(
     verts.unpersist()
     loop_conf.restore()
     return PageRankResult(
-        ranks.select("id", "rank"), it, float(delta), delta <= tol, supersteps
+        ranks.select("id", "rank"), it, float(delta), delta <= tol, supersteps, deltas
     )
