@@ -160,12 +160,17 @@ def _q_set_ops(spark, sf_dir):
 
 def _q_files_per_node(spark, sf_dir):
     """Set-union merge of defining files (reference in_memory.py:66-74):
-    sorted collect_set analog over lineitem (parts ← orders)."""
+    sorted collect_set analog over lineitem (parts ← orders). The set is
+    serialized to a comma-joined string so the driver's value-hash
+    compare (pandas-side) sees a scalar column — array cells are
+    unhashable there."""
     li = _load(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_partkey") <= 50)
         .groupBy(F.col("l_partkey").alias("id"))
-        .agg(F.array_sort(F.collect_set("l_orderkey")).alias("files"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("l_orderkey"))).alias("files")
+        )
     )
 
 
@@ -1059,7 +1064,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
         """,
         "files_per_node": """
-            SELECT l_partkey AS id, list_sort(list(DISTINCT l_orderkey)) AS files
+            SELECT l_partkey AS id,
+                   array_to_string(list_sort(list(DISTINCT l_orderkey)), ',') AS files
             FROM lineitem WHERE l_partkey <= 50 GROUP BY l_partkey
         """,
         "call_count_agg": """

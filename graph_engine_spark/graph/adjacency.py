@@ -55,6 +55,20 @@ def vertices(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
 EDGES_PER_PARTITION = 8_000
 
 
+def partitions_for_count(
+    n_edges: int,
+    spark,
+    edges_per_partition: int = EDGES_PER_PARTITION,
+    max_partitions: int | None = None,
+) -> int:
+    """Partition count for an iterative loop, from a known edge count —
+    use this when the algorithm already materializes (and counts) an
+    edge table, so sizing costs zero extra actions."""
+    if max_partitions is None:
+        max_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(max_partitions, -(-n_edges // edges_per_partition)))
+
+
 def auto_partitions(
     edges: DataFrame,
     edges_per_partition: int = EDGES_PER_PARTITION,
@@ -62,17 +76,16 @@ def auto_partitions(
 ) -> int:
     """Partition count for an iterative loop, sized from the edge count.
 
-    One count() action — callers should persist the edge table first (the
-    iterative algorithms re-reference it every superstep anyway). The cap
-    defaults to the session's shuffle partitions; a 1000-executor job
-    passes an explicit num_partitions instead of relying on this.
+    One count() action over the caller's lineage — callers that have (or
+    are about to build) a persisted edge table should count THAT and use
+    partitions_for_count instead, so the upstream pipeline is never
+    recomputed just for sizing. The cap defaults to the session's
+    shuffle partitions; a 1000-executor job passes an explicit
+    num_partitions instead of relying on this.
     """
-    if max_partitions is None:
-        max_partitions = int(
-            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    n = edges.count()
-    return max(1, min(max_partitions, -(-n // edges_per_partition)))
+    return partitions_for_count(
+        edges.count(), edges.sparkSession, edges_per_partition, max_partitions
+    )
 
 
 def build_adjacency(

@@ -36,14 +36,20 @@ class ComponentsResult:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """Γ(u) over symmetrized edges; connect strictly-larger neighbors to
-    min(Γ(u) ∪ {u})."""
+    min(Γ(u) ∪ {u}).
+
+    Scale shape: NO per-vertex neighbor arrays. The earlier
+    collect_set→explode formulation materializes a hub's whole
+    neighborhood in one row — a 10^7-degree hub at 10^12-edge scale is a
+    multi-GB single row and an executor OOM. Instead compute
+    m(u) = min(Γ(u) ∪ {u}) with a plain min aggregation (map-side
+    partial agg absorbs the hub fan-in), then join m back onto the
+    symmetrized edges; every intermediate row stays edge-width.
+    """
     sym = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    grouped = sym.groupBy("u").agg(
-        F.collect_set("v").alias("nbrs"), F.min("v").alias("min_nbr")
-    )
-    m = F.least(F.col("u"), F.col("min_nbr"))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
     return (
-        grouped.select(F.explode("nbrs").alias("v"), F.col("u"), m.alias("m"))
+        sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
@@ -52,20 +58,20 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Canonicalize edges to (max, min); connect all small neighbors and
-    u itself to the minimum."""
+    u itself to the minimum. Same array-free shape as _large_star:
+    min-agg + join, rows never wider than an edge."""
     canon = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    grouped = canon.groupBy("u").agg(
-        F.collect_set("v").alias("nbrs"), F.min("v").alias("m")
-    )
-    exploded = grouped.select(
-        F.explode(F.array_union("nbrs", F.array("u"))).alias("x"),
-        F.col("m").alias("v"),
-    )
+    m = canon.groupBy("u").agg(F.min("v").alias("m"))
+    # neighbors v → m, plus u itself → m (the union replaces the old
+    # array_union(nbrs, [u]) explode)
+    nbr_links = canon.join(m, "u").select(F.col("v").alias("x"), "m")
+    self_links = m.select(F.col("u").alias("x"), "m")
     return (
-        exploded.filter(F.col("x") != F.col("v"))
-        .select(F.col("x").alias("u"), "v")
+        nbr_links.unionAll(self_links)
+        .filter(F.col("x") != F.col("m"))
+        .select(F.col("x").alias("u"), F.col("m").alias("v"))
         .distinct()
     )
 
@@ -87,15 +93,35 @@ def connected_components(
     and resume=True restarts from the newest complete checkpoint
     (same contract as pagerank).
     """
-    from graph_engine_spark.graph.adjacency import auto_partitions
+    from graph_engine_spark.graph.adjacency import partitions_for_count
 
     spark = edges.sparkSession
+
+    # Resolve the initial loop state FIRST and size the loop from ITS
+    # count — the loop needs both the persisted edge set and its count
+    # anyway, so partition sizing costs zero extra actions and never
+    # recomputes the caller's upstream lineage (cf. ADVICE r1).
+    it0 = 0
+    e = None
+    if resume and checkpoint is not None:
+        state = checkpoint.resume(spark)
+        if state is not None:
+            it0, e, _ = state
+            e = e.select(F.col(e.columns[0]).alias("u"), F.col(e.columns[1]).alias("v"))
+    if e is None:
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    e_count = e.count()
     if num_partitions is None:
-        num_partitions = auto_partitions(edges)
+        num_partitions = partitions_for_count(e_count, spark)
     loop_conf = _IterLoopConf(spark, num_partitions)
     try:
         return _connected_components(
-            edges, src, dst, max_iter, checkpoint, method, resume
+            edges, e, e_count, it0, src, dst, max_iter, checkpoint, method
         )
     finally:
         loop_conf.restore()
@@ -103,35 +129,23 @@ def connected_components(
 
 def _connected_components(
     edges: DataFrame,
+    e: DataFrame,
+    e_count: int,
+    it: int,
     src: str,
     dst: str,
     max_iter: int,
     checkpoint: CheckpointManager | None,
     method: str,
-    resume: bool = False,
 ) -> ComponentsResult:
-    spark = edges.sparkSession
     verts = vertex_ids(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
 
     if method == "hash_min":
-        return _hash_min(edges, verts, src, dst, max_iter)
+        res = _hash_min(e, verts, max_iter)
+        e.unpersist()
+        return res
 
-    it = 0
-    e = None
-    if resume and checkpoint is not None:
-        state = checkpoint.resume(spark)
-        if state is not None:
-            it, e, _ = state
-            e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    if e is None:
-        e = (
-            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
     converged = False
-    e_count = e.count()
     while it < max_iter:
         e2 = _small_star(_large_star(e)).persist(StorageLevel.MEMORY_AND_DISK)
         # convergence: both sets are distinct, so equal counts plus an
@@ -168,11 +182,12 @@ def _connected_components(
     return ComponentsResult(result, it, converged)
 
 
-def _hash_min(edges, verts, src, dst, max_iter) -> ComponentsResult:
-    """Min-label propagation — O(diameter) rounds; comparison baseline."""
+def _hash_min(e, verts, max_iter) -> ComponentsResult:
+    """Min-label propagation — O(diameter) rounds; comparison baseline.
+    ``e`` is the persisted distinct (u, v) edge set."""
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -43,21 +43,12 @@ def label_propagation(
     checkpoint=None,
     resume: bool = False,
 ) -> LPAResult:
-    from graph_engine_spark.graph.adjacency import auto_partitions
+    from graph_engine_spark.graph.adjacency import partitions_for_count
 
     spark = edges.sparkSession
-    if num_partitions is None:
-        num_partitions = auto_partitions(edges)
-    loop_conf = _IterLoopConf(spark, num_partitions)
-    try:
-        return _label_propagation(edges, src, dst, max_iter, checkpoint, resume)
-    finally:
-        loop_conf.restore()
-
-
-def _label_propagation(edges, src, dst, max_iter, checkpoint=None, resume=False) -> LPAResult:
-    spark = edges.sparkSession
-    verts = vertex_ids(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    # build the loop's static symmetrized edge set first; sizing counts
+    # THAT persisted table (materializing it for the loop), never the
+    # caller's upstream lineage twice (cf. ADVICE r1)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -65,6 +56,18 @@ def _label_propagation(edges, src, dst, max_iter, checkpoint=None, resume=False)
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if num_partitions is None:
+        num_partitions = partitions_for_count(sym.count(), spark)
+    loop_conf = _IterLoopConf(spark, num_partitions)
+    try:
+        return _label_propagation(edges, sym, src, dst, max_iter, checkpoint, resume)
+    finally:
+        loop_conf.restore()
+
+
+def _label_propagation(edges, sym, src, dst, max_iter, checkpoint=None, resume=False) -> LPAResult:
+    spark = edges.sparkSession
+    verts = vertex_ids(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     it, converged = 0, False
     labels = None
     if resume and checkpoint is not None:

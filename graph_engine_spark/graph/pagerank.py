@@ -110,11 +110,18 @@ def pagerank(
 ) -> PageRankResult:
     """PageRank over an (src, dst) edge table. Ranks sum to 1."""
     spark = edges.sparkSession
+    owned_edges = None
     if num_partitions is None:
         # size the loop to the graph, not the session default: on small
         # graphs per-task scheduling dominates (measured 11 s → 0.5 s per
         # superstep on a 60k-edge graph); at cluster scale callers pass
-        # an explicit count matched to executor cores.
+        # an explicit count matched to executor cores. The sizing count
+        # persists the edge table first so the adjacency/vertex builds
+        # below replay the cache instead of recomputing the caller's
+        # upstream lineage (extract pipelines are expensive).
+        if edges.storageLevel == StorageLevel.NONE:
+            owned_edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+            edges = owned_edges
         num_partitions = auto_partitions(edges)
     loop_conf = _IterLoopConf(spark, num_partitions)
 
@@ -132,6 +139,9 @@ def pagerank(
     ).collect()[0]
     n, n_dangling = counts["n"], counts["nd"]
     if n == 0:
+        loop_conf.restore()
+        if owned_edges is not None:
+            owned_edges.unpersist()
         return PageRankResult(verts.select("id", F.lit(0.0).alias("rank")), 0, 0.0, True)
 
     start_iter = 0
@@ -228,6 +238,8 @@ def pagerank(
 
     adj.unpersist()
     verts.unpersist()
+    if owned_edges is not None:
+        owned_edges.unpersist()
     loop_conf.restore()
     return PageRankResult(
         ranks.select("id", "rank"), it, float(delta), delta <= tol, supersteps, deltas

@@ -38,20 +38,11 @@ def triangle_count(
     the wedge join; auto-sized finer than the iterative loops because
     wedge volume is superlinear in edges (measured on a 60k-edge hub
     graph at local[32]: 64 shuffle partitions → 55 s, 16 → 7 s)."""
-    from graph_engine_spark.graph.adjacency import auto_partitions
+    from graph_engine_spark.graph.adjacency import partitions_for_count
 
     spark = edges.sparkSession
-    if num_partitions is None:
-        num_partitions = auto_partitions(edges, edges_per_partition=4_000)
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
-    try:
-        return _triangle_count(edges, src, dst)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
-
-
-def _triangle_count(edges: DataFrame, src: str, dst: str) -> TriangleResult:
+    # canonicalize once, persist, and size the wedge-join width from the
+    # persisted table's count — no second pass over the caller's lineage
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -61,6 +52,19 @@ def _triangle_count(edges: DataFrame, src: str, dst: str) -> TriangleResult:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if num_partitions is None:
+        num_partitions = partitions_for_count(
+            und.count(), spark, edges_per_partition=4_000
+        )
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        return _triangle_count(und)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def _triangle_count(und: DataFrame) -> TriangleResult:
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))

@@ -144,6 +144,26 @@ def test_connected_components(spark, method):
         assert label == min(members)
 
 
+def test_connected_components_high_degree_hub(spark):
+    """Scale-shape regression: a hub with degree ≫ everything else —
+    the collect_set star formulation would materialize its whole
+    neighborhood in one array row; the min-agg+join form must produce
+    identical labels with rows never wider than an edge."""
+    hub_pairs = [("hub", f"leaf{i:04d}") for i in range(2000)]
+    # attach a chain to the hub so the component isn't diameter-1
+    chain = [(f"c{i}", f"c{i+1}") for i in range(30)] + [("c0", "leaf0000")]
+    other = [("iso_a", "iso_b")]
+    pairs = hub_pairs + chain + other
+    res = connected_components(edge_df(spark, pairs))
+    assert res.converged
+    by_label = {}
+    for r in res.components.collect():
+        by_label.setdefault(r["component"], set()).add(r["id"])
+    assert {frozenset(v) for v in by_label.values()} == nx_components(pairs)
+    for label, members in by_label.items():
+        assert label == min(members)
+
+
 def test_triangles(spark):
     pairs = two_cliques_bridge(5)
     res = triangle_count(edge_df(spark, pairs))

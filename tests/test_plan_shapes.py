@@ -84,6 +84,27 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     assert "partial_count" in plan or "Partial" in plan, plan
 
 
+def test_cc_star_steps_are_array_free(spark):
+    """Connected-components star steps must never materialize a
+    per-vertex neighbor array (collect_set/collect_list + explode): a
+    10^7-degree hub would become one multi-GB row. The min-agg + join
+    formulation keeps every row edge-width — the plan must contain no
+    array aggregate and no Generate (explode)."""
+    from graph_engine_spark.graph.components import _large_star, _small_star
+
+    e = spark.createDataFrame(
+        [(str(i), str((i * 7) % 50)) for i in range(300)], ["u", "v"]
+    )
+    for step in (_large_star, _small_star):
+        plan = plan_of(step(e))
+        assert "collect_set" not in plan, plan
+        assert "collect_list" not in plan, plan
+        assert "Generate" not in plan, plan  # no explode anywhere
+        # array aggregates force ObjectHashAggregate; min() stays in the
+        # codegen'd HashAggregate path
+        assert "ObjectHashAggregate" not in plan, plan
+
+
 def test_pagerank_superstep_shuffles_only_rank_side(spark):
     """The cached CSR adjacency must satisfy the superstep join's
     distribution: the contribution join plan contains no Exchange on the
