@@ -10,12 +10,15 @@ Superstep design (SURVEY.md §4) — ONE Spark action per superstep:
      static, pre-hash-partitioned CSR adjacency — only the rank side
      shuffles per iteration), then ``explode(dsts)`` with
      contrib = rank / out_deg;
-  2. optional hub salting: two-stage aggregation
-     ``groupBy(dst, salt) → groupBy(dst)`` bounds any single reducer's
-     width for extreme in-degree hubs (Spark's map-side partial
-     aggregation covers the common case; the explicit salt is the knob
-     the north rule names, and is measurable on the synthetic corpus's
-     hub modules);
+  2. optional degree-TARGETED hub salting: only dsts whose in-degree
+     exceeds ``salt_degree_threshold`` are spread over salt buckets in a
+     two-stage aggregation ``groupBy(dst, salt) → groupBy(dst)``; all
+     other keys keep salt 0, so the second-stage shuffle moves only
+     already-aggregated rows. Salting every key (round-1 form) measured
+     3× slower than unsalted — map-side partial aggregation already
+     bounds reducer fan-in to ≤ num_map_partitions rows per key, so the
+     knob defaults OFF and exists for the regime where hub in-degree
+     per map partition overwhelms the partial hash agg into spilling;
   3. dangling mass: rank mass on vertices with no out-edges must be
      redistributed uniformly. Computing it needs an aggregate over the
      *current* ranks — instead of a separate job, the delta aggregation
@@ -104,6 +107,7 @@ def pagerank(
     max_iter: int = 100,
     num_partitions: int | None = None,
     salt_buckets: int = 0,
+    salt_degree_threshold: int = 10_000,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
     lineage_every: int = 2,
@@ -144,6 +148,28 @@ def pagerank(
             owned_edges.unpersist()
         return PageRankResult(verts.select("id", F.lit(0.0).alias("rank")), 0, 0.0, True)
 
+    # Degree-TARGETED salting: only dsts whose in-degree exceeds the
+    # threshold are spread over salt buckets; every other key keeps the
+    # single-stage aggregation. (Salting every key — the round-1 knob —
+    # measured 3× SLOWER than unsalted: it pays a full extra shuffle to
+    # duplicate what map-side partial aggregation already does. Partial
+    # agg bounds any reducer's fan-in to ≤ num_map_partitions rows per
+    # key, so sum-shaped supersteps only need salting when hub in-degree
+    # per map partition overwhelms the partial hash agg into spilling.)
+    hubs_df = None
+    hub_salts = None
+    if salt_buckets > 1:
+        hubs_df = (
+            edges.groupBy(F.col("dst").alias("id"))
+            .agg(F.count("*").alias("in_deg"))
+            .filter(F.col("in_deg") >= salt_degree_threshold)
+            .select("id", F.lit(True).alias("_is_hub"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if hubs_df.count() > 0:
+            hub_salts = F.broadcast(hubs_df)
+        # else: nothing skewed enough — stay single-stage
+
     start_iter = 0
     ranks = verts.select("id", "dangling", F.lit(1.0 / n).alias("rank"))
     dangling_mass = n_dangling / n
@@ -171,10 +197,23 @@ def pagerank(
             F.explode("dsts").alias("id"),
             (F.col("rank") / F.col("out_deg")).alias("contrib"),
         )
-        if salt_buckets > 1:
+        if hub_salts is not None:
+            # hub keys get a per-map-partition salt so the first-stage
+            # exchange spreads them over `salt_buckets` reducers; every
+            # non-hub key keeps salt 0 → exactly one first-stage row, so
+            # the second-stage shuffle moves ~|V| + buckets·|hubs|
+            # already-aggregated rows (tiny next to the contribution
+            # volume), not a second full pass over |E|.
             contribs = (
-                contribs.groupBy(
-                    "id", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).alias("_salt")
+                contribs.join(hub_salts, "id", "left")
+                .groupBy(
+                    "id",
+                    F.when(
+                        F.col("_is_hub").isNotNull(),
+                        F.pmod(F.spark_partition_id(), F.lit(salt_buckets)),
+                    )
+                    .otherwise(F.lit(0))
+                    .alias("_salt"),
                 )
                 .agg(F.sum("contrib").alias("contrib"))
                 .groupBy("id")
@@ -238,6 +277,8 @@ def pagerank(
 
     adj.unpersist()
     verts.unpersist()
+    if hubs_df is not None:
+        hubs_df.unpersist()
     if owned_edges is not None:
         owned_edges.unpersist()
     loop_conf.restore()

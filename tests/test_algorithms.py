@@ -84,13 +84,38 @@ def test_pagerank_fixtures(spark, pairs):
 
 
 def test_pagerank_dangling_and_salting(spark):
-    # star: hub 0 is dangling (no out-edges) AND skewed (in-deg 15)
+    # star: hub 0 is dangling (no out-edges) AND skewed (in-deg 15);
+    # threshold 10 puts exactly the hub on the salted two-stage path
     pairs = star(15) + [(20, 21), (21, 20)]
     res = pagerank(
-        edge_df(spark, pairs), tol=1e-7, max_iter=150, num_partitions=4, salt_buckets=4
+        edge_df(spark, pairs), tol=1e-7, max_iter=150, num_partitions=4,
+        salt_buckets=4, salt_degree_threshold=10,
     )
     assert res.converged
     assert_ranks_close(res, nx_pagerank(pairs))
+
+
+def test_pagerank_targeted_salting_matches_unsalted(spark):
+    """Degree-targeted salting is a pure physical rewrite: per-vertex
+    ranks must equal the unsalted run bit-for-bit-close, whether the
+    threshold selects hubs (two-stage path active) or selects nothing
+    (auto-off)."""
+    pairs = star(40) + ring(12) + [(0, "r0")]
+    base = pagerank(edge_df(spark, pairs), tol=1e-9, max_iter=10, num_partitions=4)
+    salted = pagerank(
+        edge_df(spark, pairs), tol=1e-9, max_iter=10, num_partitions=4,
+        salt_buckets=8, salt_degree_threshold=20,
+    )
+    auto_off = pagerank(
+        edge_df(spark, pairs), tol=1e-9, max_iter=10, num_partitions=4,
+        salt_buckets=8, salt_degree_threshold=10_000,
+    )
+    got = {r["id"]: r["rank"] for r in base.ranks.collect()}
+    for other in (salted, auto_off):
+        other_ranks = {r["id"]: r["rank"] for r in other.ranks.collect()}
+        assert set(other_ranks) == set(got)
+        for k, v in got.items():
+            assert abs(other_ranks[k] - v) < 1e-12, (k, other_ranks[k], v)
 
 
 def test_pagerank_checkpoint_resume(spark, tmp_path):
