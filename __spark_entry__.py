@@ -478,6 +478,45 @@ def _q_rename_detection(spark, sf_dir):
     return res.select("old_path", "new_path", F.round("similarity", 6).alias("similarity"))
 
 
+def _q_function_rename(spark, sf_dir):
+    """Function-rename matching (pipelines/rename.py; reference
+    rename_detection.py:84-207): per-file old×new candidates scored
+    0.7·body + 0.2·lines + 0.1·params, threshold 0.7, greedy conflict
+    resolution — over function tables derived from documents."""
+    from graph_engine_spark.pipelines.rename import match_function_renames
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    old_funcs = d.filter(did % 3 == 0).select(
+        F.format_string("mod%d.py", did % 7).alias("path"),
+        F.format_string("old:%d", did).alias("func_id"),
+        F.format_string("func_%d", did).alias("name"),
+        F.col("text").alias("body"),
+        ((did * 3) % 40 + 5).cast("int").alias("n_lines"),
+        (did % 5).cast("int").alias("n_params"),
+    )
+    renamed = d.filter(did % 3 == 0).select(
+        F.format_string("mod%d.py", did % 7).alias("path"),
+        F.format_string("new:%d", did).alias("func_id"),
+        F.format_string("renamed_%d", did).alias("name"),
+        F.concat(F.col("text"), F.lit(" small tail edit")).alias("body"),
+        ((did * 3) % 40 + 6).cast("int").alias("n_lines"),
+        (did % 5).cast("int").alias("n_params"),
+    )
+    decoys = d.filter(did % 3 == 1).select(
+        F.format_string("mod%d.py", did % 7).alias("path"),
+        F.format_string("new:d%d", did).alias("func_id"),
+        F.format_string("decoy_%d", did).alias("name"),
+        F.col("text").alias("body"),
+        ((did * 11) % 60 + 3).cast("int").alias("n_lines"),
+        (did % 4).cast("int").alias("n_params"),
+    )
+    res = match_function_renames(old_funcs, renamed.unionByName(decoys))
+    return res.select(
+        "old_id", "new_id", F.round("score", 6).alias("score")
+    )
+
+
 def _lpa_edges(spark, sf_dir):
     """Deterministic LPA test graph from nation: intra-group star +
     cross links."""
@@ -565,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "window_rank_greedy": _q_window_rank_greedy,
         "rename_detection": _q_rename_detection,
+        "function_rename": _q_function_rename,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -965,6 +1005,59 @@ SELECT old_path, new_path, ROUND(similarity, 6) AS similarity FROM r2 WHERE rn =
 """
 
 
+_FUNCTION_RENAME_ORACLE = """
+WITH tokd AS (
+  SELECT doc_id, text,
+    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tk,
+    list_distinct(list_filter(
+      string_split_regex(lower(text || ' small tail edit'), '\\s+'), t -> t <> '')) AS tk_tail
+  FROM documents
+),
+old_funcs AS (
+  SELECT printf('mod%d.py', doc_id % 7) AS path,
+         printf('old:%d', doc_id) AS old_id,
+         printf('func_%d', doc_id) AS old_name,
+         tk AS tok_old,
+         (doc_id * 3) % 40 + 5 AS old_lines,
+         doc_id % 5 AS old_params
+  FROM tokd WHERE doc_id % 3 = 0
+),
+new_funcs AS (
+  SELECT printf('mod%d.py', doc_id % 7) AS path,
+         printf('new:%d', doc_id) AS new_id,
+         printf('renamed_%d', doc_id) AS new_name,
+         tk_tail AS tok_new,
+         (doc_id * 3) % 40 + 6 AS new_lines,
+         doc_id % 5 AS new_params
+  FROM tokd WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT printf('mod%d.py', doc_id % 7),
+         printf('new:d%d', doc_id),
+         printf('decoy_%d', doc_id),
+         tk,
+         (doc_id * 11) % 60 + 3,
+         doc_id % 4
+  FROM tokd WHERE doc_id % 3 = 1
+),
+scored AS (
+  SELECT o.path, o.old_id, n.new_id,
+    0.7 * (len(list_intersect(tok_old, tok_new))
+           / greatest(len(list_distinct(list_concat(tok_old, tok_new))), 1))
+    + 0.2 * (1.0 / (1.0 + abs(new_lines - old_lines)))
+    + 0.1 * (1.0 / (1.0 + abs(new_params - old_params))) AS score
+  FROM old_funcs o JOIN new_funcs n ON o.path = n.path
+  WHERE o.old_name <> n.new_name
+),
+cand AS (SELECT * FROM scored WHERE score >= 0.7),
+r1 AS (SELECT *, row_number() OVER (PARTITION BY path, new_id
+         ORDER BY score DESC, old_id) AS rn FROM cand),
+k1 AS (SELECT path, old_id, new_id, score FROM r1 WHERE rn = 1),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY path, old_id
+         ORDER BY score DESC, new_id) AS rn FROM k1)
+SELECT old_id, new_id, ROUND(score, 6) AS score FROM r2 WHERE rn = 1
+"""
+
+
 _LPA_ORACLE = """
 WITH base AS (
   SELECT printf('v%02d', n_nationkey) AS src,
@@ -1148,6 +1241,7 @@ FROM cand c JOIN shd a ON c.key_a = a.key JOIN shd b ON c.key_b = b.key""",
               FROM orders) WHERE rn = 1
         """,
         "rename_detection": _RENAME_ORACLE,
+        "function_rename": _FUNCTION_RENAME_ORACLE,
         "multimodal_features": _MULTIMODAL_ORACLE,
         "triangle_count": """
             WITH base AS (

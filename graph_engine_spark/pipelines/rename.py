@@ -19,12 +19,12 @@ Scale-first re-expression (SURVEY.md §2.3 "Similarity join"):
     when a rename window contains millions of files.
   * Resolution: the reference greedily takes pairs in similarity-desc
     order, skipping already-matched endpoints. The distributed
-    equivalent is mutual-best matching with two ranking windows
-    (SURVEY.md §2.5): keep a pair iff it is the best candidate for BOTH
-    its old and its new path, ties broken by path ascending. Mutual-best
-    is a subset of greedy (a greedy pick is always mutual-best at the
-    moment it is taken); the difference only shows in chained-conflict
-    cases where greedy would fall through to a second-best pair.
+    equivalent here is two sequential ranking windows (SURVEY.md §2.5):
+    best old candidate per new path first, then best surviving claimant
+    per old path, ties broken by path ascending. This matches the
+    greedy outcome whenever each endpoint conflicts at most once (the
+    overwhelmingly common case); in chained-conflict cases greedy can
+    fall through to a second-best pair that the two-pass form drops.
 
 The reference's exact-rename fast path (1 deleted + 1 created,
 :255-267) and its md5 compare (:24-44) are subsumed: identical content
@@ -130,8 +130,16 @@ def detect_renames(
     text_col: str = "text",
     blocker: str = "extension",
 ) -> DataFrame:
-    """1:1 rename assignments (old_path, new_path, similarity) —
-    mutual-best resolution of the candidate pairs (deterministic)."""
+    """1:1 rename assignments (old_path, new_path, similarity).
+
+    Resolution is SEQUENTIAL best-per-new then best-per-old (the same
+    two-pass shape as the reference's greedy loop and the DuckDB
+    oracle): each new path first takes its best old candidate, then
+    conflicts on an old path resolve to the highest-scoring claimant.
+    A kept pair is therefore always its new path's best candidate, and
+    the best among that old path's SURVIVING claimants — not necessarily
+    the old path's best over the full candidate set (true mutual-best
+    would drop such chained-conflict pairs instead of keeping them)."""
     pairs = similarity_pairs(deleted, created, threshold, path_col, text_col, blocker)
     by_new = Window.partitionBy("new_path").orderBy(
         F.desc("similarity"), F.asc("old_path")
@@ -153,3 +161,149 @@ def weighted_function_rename_score(
 ) -> Column:
     """Reference rename_detection.py:169 — 0.7·body + 0.2·lines + 0.1·params."""
     return (0.7 * body_sim + 0.2 * line_count_sim + 0.1 * param_sim).cast("double")
+
+
+def match_function_renames(
+    old_funcs: DataFrame,
+    new_funcs: DataFrame,
+    threshold: float = 0.7,
+    file_col: str = "path",
+    id_col: str = "func_id",
+    name_col: str = "name",
+    body_col: str = "body",
+    lines_col: str = "n_lines",
+    params_col: str = "n_params",
+) -> DataFrame:
+    """Function-rename matching (reference rename_detection.py:84-207).
+
+    Input: two function tables with (file, func_id, name, body, n_lines,
+    n_params) — old-version functions and new-version functions. Output:
+    (path, old_id, new_id, body_sim, line_sim, param_sim, score), one
+    row per resolved rename.
+
+    Semantics mirrored from ``match_functions``:
+      * candidates are old × new within the SAME file (:105-110 — the
+        reference is called per-file; the file equi-join is also the
+        natural blocking key, so candidate volume is bounded by
+        functions-per-file², never corpus²);
+      * exact name matches are skipped (:143-145 — same name = same
+        function, not a rename);
+      * body similarity: token-set Jaccard standing in for the
+        reference's difflib.SequenceMatcher ratio (:151) — the same
+        documented deviation as file renames (O(len²) and
+        order-sensitive vs JVM-side array intersection); 0.0 when
+        either body is empty (:150-153);
+      * line-count similarity 1/(1+|Δlines|) (:156-157), parameter-count
+        similarity 1/(1+|Δparams|) when both sides carry a parameter
+        list, else 0.0 (:160-167);
+      * score = 0.7·body + 0.2·lines + 0.1·params (:169), threshold 0.7
+        (:87);
+      * resolution (:180-207): each new function takes its best-scoring
+        old candidate (threshold applies to the best only — equivalent
+        to thresholding first, since the below-threshold best has no
+        above-threshold runner-up), then conflicts on an old function
+        resolve to the highest-scoring claimant — expressed as two
+        ranking windows, ties broken by id ascending (the reference
+        keeps first-encountered list order; ascending id is the
+        deterministic spelling of that).
+    """
+    o = old_funcs.select(
+        F.col(file_col).alias("path"),
+        F.col(id_col).alias("old_id"),
+        F.col(name_col).alias("old_name"),
+        F.col(body_col).alias("old_body"),
+        token_set(F.col(body_col)).alias("tok_old"),
+        F.col(lines_col).alias("old_lines"),
+        F.col(params_col).alias("old_params"),
+    )
+    n = new_funcs.select(
+        F.col(file_col).alias("path"),
+        F.col(id_col).alias("new_id"),
+        F.col(name_col).alias("new_name"),
+        F.col(body_col).alias("new_body"),
+        token_set(F.col(body_col)).alias("tok_new"),
+        F.col(lines_col).alias("new_lines"),
+        F.col(params_col).alias("new_params"),
+    )
+    both_bodies = (
+        F.col("old_body").isNotNull()
+        & (F.length("old_body") > 0)
+        & F.col("new_body").isNotNull()
+        & (F.length("new_body") > 0)
+    )
+    scored = (
+        o.join(n, "path")
+        .filter(F.col("old_name") != F.col("new_name"))
+        .select(
+            "path",
+            "old_id",
+            "new_id",
+            F.when(both_bodies, jaccard(F.col("tok_old"), F.col("tok_new")))
+            .otherwise(F.lit(0.0))
+            .alias("body_sim"),
+            (
+                1.0 / (1.0 + F.abs(F.col("new_lines") - F.col("old_lines")))
+            ).cast("double").alias("line_sim"),
+            F.when(
+                F.col("old_params").isNotNull() & F.col("new_params").isNotNull(),
+                1.0 / (1.0 + F.abs(F.col("new_params") - F.col("old_params"))),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+            .alias("param_sim"),
+        )
+        .withColumn(
+            "score",
+            weighted_function_rename_score(
+                F.col("body_sim"), F.col("line_sim"), F.col("param_sim")
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    by_new = Window.partitionBy("path", "new_id").orderBy(
+        F.desc("score"), F.asc("old_id")
+    )
+    by_old = Window.partitionBy("path", "old_id").orderBy(
+        F.desc("score"), F.asc("new_id")
+    )
+    return (
+        scored.withColumn("rn_new", F.row_number().over(by_new))
+        .filter(F.col("rn_new") == 1)
+        .withColumn("rn_old", F.row_number().over(by_old))
+        .filter(F.col("rn_old") == 1)
+        .select("path", "old_id", "new_id", "body_sim", "line_sim", "param_sim", "score")
+    )
+
+
+def function_table_from_extraction(nodes: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Build the (path, func_id, name, body, n_lines, n_params) input of
+    match_function_renames from an extracted node table + its corpus:
+    function bodies are sliced JVM-side from content by the node's
+    start/end line (the extractor deliberately does not duplicate body
+    text onto every node — at 10^12-file scale that would multiply the
+    node table by average function length)."""
+    funcs = nodes.filter(F.col("type") == "function").select(
+        "path",
+        F.col("id").alias("func_id"),
+        "name",
+        "start_line",
+        "end_line",
+        (F.col("end_line") - F.col("start_line")).alias("n_lines"),
+        F.size("params").alias("n_params"),
+    )
+    content = corpus.select("path", F.split("content", "\n").alias("_lines"))
+    return funcs.join(content, "path").select(
+        "path",
+        "func_id",
+        "name",
+        F.concat_ws(
+            "\n",
+            F.slice(
+                "_lines",
+                F.col("start_line"),
+                F.col("end_line") - F.col("start_line") + F.lit(1),
+            ),
+        ).alias("body"),
+        "n_lines",
+        "n_params",
+    )

@@ -79,6 +79,161 @@ def test_detect_renames_conflict_resolution(spark):
     assert got[0]["similarity"] == 1.0
 
 
+# --- function renames (reference rename_detection.py:84-207, mirrored
+# from reference tests/test_function_renames.py:62-239) ---------------
+
+PY_OLD = """
+def original_function(param1, param2):
+    # A test function
+    result = param1 + param2
+    return result
+"""
+PY_MODIFIED = """
+def renamed_function(param1, param2):
+    # A test function with minor changes
+    # Added comment
+    result = param1 + param2
+    return result  # Another comment
+"""
+PY_DIFFERENT = """
+def different_function(p1, p2, p3):
+    # A completely different function
+    if p1 > 0:
+        return p1 * p2 * p3
+    else:
+        return p1 + p2 + p3
+"""
+
+_FUNC_SCHEMA = (
+    "path string, func_id string, name string, body string, "
+    "n_lines int, n_params int"
+)
+
+
+def _match(spark, old_rows, new_rows, threshold=0.7):
+    from graph_engine_spark.pipelines.rename import match_function_renames
+
+    old = spark.createDataFrame(old_rows, _FUNC_SCHEMA)
+    new = spark.createDataFrame(new_rows, _FUNC_SCHEMA)
+    return {
+        r["old_id"]: r["new_id"]
+        for r in match_function_renames(old, new, threshold=threshold).collect()
+    }
+
+
+def test_match_functions_exact_body(spark):
+    """Identical body under a new name matches (reference :62-97)."""
+    got = _match(
+        spark,
+        [("t.py", "function:original_function", "original_function", PY_OLD, 4, None)],
+        [("t.py", "function:renamed_function", "renamed_function", PY_OLD, 4, None)],
+    )
+    assert got == {"function:original_function": "function:renamed_function"}
+
+
+def test_match_functions_similar_body(spark):
+    """Minor body edits still match at the relaxed threshold (:99-140)."""
+    got = _match(
+        spark,
+        [("t.py", "function:original_function", "original_function", PY_OLD, 4, None)],
+        [("t.py", "function:renamed_function", "renamed_function", PY_MODIFIED, 5, None)],
+        threshold=0.4,
+    )
+    assert got == {"function:original_function": "function:renamed_function"}
+
+
+def test_match_functions_different_body(spark):
+    """Substantially different bodies do not match (:142-178)."""
+    got = _match(
+        spark,
+        [("t.py", "function:original_function", "original_function", PY_OLD, 4, None)],
+        [("t.py", "function:different_function", "different_function", PY_DIFFERENT, 7, None)],
+    )
+    assert got == {}
+
+
+def test_match_functions_multiple_candidates(spark):
+    """Each renamed function pairs with its own original (:180-239)."""
+    got = _match(
+        spark,
+        [
+            ("t.py", "function:function1", "function1",
+             "def function1(a, b): return a + b", 0, None),
+            ("t.py", "function:function2", "function2",
+             "def function2(a, b): return a * b", 0, None),
+        ],
+        [
+            ("t.py", "function:add_func", "add_func",
+             "def add_func(a, b): return a + b", 0, None),
+            ("t.py", "function:multiply_func", "multiply_func",
+             "def multiply_func(a, b): return a * b", 0, None),
+        ],
+    )
+    assert got == {
+        "function:function1": "function:add_func",
+        "function:function2": "function:multiply_func",
+    }
+
+
+def test_match_functions_same_name_skipped_and_cross_file_blocked(spark):
+    """Exact name matches are never renames (:143-145), and candidates
+    never cross file boundaries (the per-file blocking key)."""
+    got = _match(
+        spark,
+        [
+            ("a.py", "old:same", "same_name", PY_OLD, 4, 2),
+            ("b.py", "old:other", "in_file_b", PY_OLD, 4, 2),
+        ],
+        [
+            ("a.py", "new:same", "same_name", PY_OLD, 4, 2),
+            # same body as b.py's function but lives in a different file
+            ("a.py", "new:crossfile", "moved_here", PY_OLD, 4, 2),
+        ],
+    )
+    # old:same ↔ new:same share a name → skipped; old:same → new:crossfile
+    # IS a valid in-file rename; b.py's function can't match across files
+    assert got == {"old:same": "new:crossfile"}
+
+
+def test_match_functions_conflict_resolution(spark):
+    """Two new functions claiming one old: highest score wins, the other
+    gets nothing (reference :180-207 greedy over sorted matches)."""
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    got = _match(
+        spark,
+        [("t.py", "old:1", "orig", body, 10, 2)],
+        [
+            ("t.py", "new:close", "close_copy", body, 10, 2),  # exact: 1.0 score path
+            ("t.py", "new:far", "far_copy", body + " extra tokens here", 12, 2),
+        ],
+    )
+    assert got == {"old:1": "new:close"}
+
+
+def test_function_table_from_extraction(spark):
+    """Bodies sliced from corpus content by node line range feed the
+    matcher end-to-end."""
+    from graph_engine_spark.extractor import extract_graph
+    from graph_engine_spark.pipelines.rename import (
+        function_table_from_extraction,
+        match_function_renames,
+    )
+
+    old_src = "def compute_total(a, b):\n    total = a + b\n    return total\n"
+    new_src = "def sum_values(a, b):\n    total = a + b\n    return total\n"
+    mk = lambda path, content: ("r", path, "c0", "python", content)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    old_corpus = spark.createDataFrame([mk("m.py", old_src)], cols)
+    new_corpus = spark.createDataFrame([mk("m.py", new_src)], cols)
+    old_nodes, _ = extract_graph(old_corpus)
+    new_nodes, _ = extract_graph(new_corpus)
+    old_f = function_table_from_extraction(old_nodes, old_corpus)
+    new_f = function_table_from_extraction(new_nodes, new_corpus)
+    rows = match_function_renames(old_f, new_f).collect()
+    assert len(rows) == 1
+    assert rows[0]["score"] >= 0.7
+
+
 def test_minhash_blocker_matches_extension_blocker_on_planted_pairs(spark):
     rows_d, rows_c = [], []
     base = "the quick brown fox jumps over the lazy dog near the river bank today"
