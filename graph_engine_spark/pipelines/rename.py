@@ -141,6 +141,15 @@ def detect_renames(
     the old path's best over the full candidate set (true mutual-best
     would drop such chained-conflict pairs instead of keeping them)."""
     pairs = similarity_pairs(deleted, created, threshold, path_col, text_col, blocker)
+    return resolve_pairs(pairs)
+
+
+def resolve_pairs(pairs: DataFrame) -> DataFrame:
+    """Two-pass 1:1 resolution over (old_path, new_path, similarity)
+    candidate pairs — the distributed form of the reference's greedy
+    similarity-desc assignment (rename_detection.py:322-339). Factored
+    out so streaming micro-batches (whose interval join produces the
+    pairs) share the exact batch semantics."""
     by_new = Window.partitionBy("new_path").orderBy(
         F.desc("similarity"), F.asc("old_path")
     )

@@ -16,6 +16,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 # Engine input — authoritative shape from BASELINE.json input_hint.
@@ -47,6 +48,22 @@ IR_SCHEMA = StructType(
         StructField("end_line", IntegerType(), True),
         StructField("content_hash", StringType(), True),  # module nodes only
         StructField("params", ArrayType(StringType()), True),  # function nodes
+    ]
+)
+
+# File-watch event stream (reference watchers emit
+# (event_type, filepath) tuples, manager.py:604-774; content travels
+# with the event here because a distributed consumer can't re-read the
+# watcher host's filesystem). ts = event time for the 2 s rename window.
+FILE_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),  # created|modified|deleted
+        StructField("ts", TimestampType(), False),
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), True),  # null on deletes of unknown content
     ]
 )
 

@@ -169,3 +169,142 @@ def test_stateful_call_counts_across_restarts(spark, tmp_path):
     feed([("f:a", "f:b", 9.0), ("f:a", "f:b", 20.0)], "b2")
     got2 = run_round("cc_round2")
     assert got2[("f:a", "f:b")] == (4, 9.0, 20.0)
+
+
+# --- streaming rename window (reference manager.py:42, 274-325) -------
+
+BASE_TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _event_rows(spark, rows):
+    """rows: (event_type, ts_epoch_seconds, path, content)."""
+    import datetime
+
+    from graph_engine_spark.schemas import FILE_EVENTS_SCHEMA
+
+    data = [
+        (
+            et,
+            datetime.datetime.fromtimestamp(ts, datetime.timezone.utc).replace(
+                tzinfo=None
+            ),
+            "r",
+            path,
+            "c" * 40,
+            "python",
+            content,
+        )
+        for et, ts, path, content in rows
+    ]
+    return spark.createDataFrame(data, FILE_EVENTS_SCHEMA)
+
+
+def test_rename_candidate_window_batch_semantics(spark):
+    """Interval-join semantics on a batch frame: pairs within 2 s match,
+    pairs outside the window or across extensions never do."""
+    from graph_engine_spark.pipelines.rename import resolve_pairs
+    from graph_engine_spark.streaming.renames import rename_candidate_stream
+
+    events = _event_rows(
+        spark,
+        [
+            ("deleted", 10.0, "old/a.py", BASE_TEXT),
+            ("created", 11.2, "new/a2.py", BASE_TEXT),        # +1.2 s → pair
+            ("deleted", 100.0, "old/far.py", BASE_TEXT),
+            ("created", 104.0, "new/late.py", BASE_TEXT),     # +4 s → no pair
+            ("deleted", 200.0, "old/ext.py", BASE_TEXT),
+            ("created", 200.5, "new/ext.txt", BASE_TEXT),     # ext gate → no pair
+            ("created", 9.0, "new/before.py", BASE_TEXT),     # create BEFORE delete, 1 s → pair
+        ],
+    )
+    pairs = rename_candidate_stream(events, window_seconds=2.0)
+    got = {(r["old_path"], r["new_path"]) for r in pairs.collect()}
+    assert got == {
+        ("old/a.py", "new/a2.py"),
+        ("old/a.py", "new/before.py"),
+    }
+    resolved = {
+        (r["old_path"], r["new_path"])
+        for r in resolve_pairs(
+            pairs.select("old_path", "new_path", "similarity")
+        ).collect()
+    }
+    # greedy 1:1: the tie on similarity 1.0 resolves to the ascending path
+    assert resolved == {("old/a.py", "new/a2.py")}
+
+
+def test_apply_renames_preserves_ids_and_moves_provenance(spark):
+    """reference update_node_filepath (manager.py:475-525): ids stay,
+    path/files/hash move — including files entries of SHARED nodes."""
+    from graph_engine_spark.streaming.renames import apply_renames
+
+    state = empty_state(spark)
+    state = apply_upserts(
+        state, corpus_df(spark, [("r", "a.py", FILE_A_V1), ("r", "b.py", FILE_B)])
+    )
+    old_hash = {r["path"]: r["content_hash"] for r in state.file_hashes.collect()}
+    resolved = spark.createDataFrame(
+        [("a.py", "renamed.py", 1.0)], ["old_path", "new_path", "similarity"]
+    )
+    state2 = apply_renames(state, resolved)
+    # node ids unchanged
+    assert {r["id"] for r in state2.nodes.collect()} == {
+        r["id"] for r in state.nodes.collect()
+    }
+    # a.py-scoped nodes moved
+    assert state2.nodes.filter(F.col("path") == "a.py").count() == 0
+    assert state2.nodes.filter(F.col("path") == "renamed.py").count() > 0
+    # shared node's files array rewrote the a.py entry and kept b.py
+    shared = state2.nodes.filter(F.col("id") == "function:shared_func").collect()
+    assert sorted(shared[0]["files"]) == ["b.py", "renamed.py"]
+    # edges and hash provenance follow
+    assert state2.edges.filter(F.col("path") == "a.py").count() == 0
+    new_hash = {r["path"]: r["content_hash"] for r in state2.file_hashes.collect()}
+    assert new_hash["renamed.py"] == old_hash["a.py"]
+    assert "a.py" not in new_hash
+
+
+def test_streaming_rename_window_out_of_order_batches(spark, tmp_path):
+    """The delete arrives in micro-batch 1, its create in micro-batch 2
+    (restarted query, state carried by the checkpoint): the interval
+    join still pairs them; an out-of-window create never pairs."""
+    import os
+
+    from graph_engine_spark.streaming.renames import start_streaming_rename_detection
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(events_dir, exist_ok=True)
+
+    def feed(rows):
+        _event_rows(spark, rows).coalesce(1).write.mode("append").parquet(events_dir)
+
+    def drain():
+        q, sink = start_streaming_rename_detection(
+            spark, events_dir, out_dir, window_seconds=2.0, available_now=True
+        )
+        q.awaitTermination(120)
+        return sink
+
+    # micro-batch 1: only the delete (and a far-away delete)
+    feed(
+        [
+            ("deleted", 10.0, "old/a.py", BASE_TEXT),
+            ("deleted", 100.0, "old/far.py", BASE_TEXT),
+        ]
+    )
+    sink = drain()
+    # micro-batch 2 (separate query run, same checkpoint): the matching
+    # create inside the window + one outside it
+    feed(
+        [
+            ("created", 11.0, "new/a_renamed.py", BASE_TEXT),
+            ("created", 104.5, "new/too_late.py", BASE_TEXT),
+        ]
+    )
+    sink = drain()
+    got = {
+        (r["old_path"], r["new_path"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {("old/a.py", "new/a_renamed.py")}
