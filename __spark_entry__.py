@@ -391,7 +391,12 @@ def _q_minhash_lsh(spark, sf_dir):
     from graph_engine_spark.pipelines.dedup import minhash_lsh_candidates
 
     corpus = _minhash_corpus(spark, sf_dir)
-    return minhash_lsh_candidates(corpus, text_col="text", key_col="key", num_hashes=8, bands=4, k=5)
+    # max_bucket_size=None: the oracle replays the identical uncapped
+    # join; production runs keep the default degenerate-bucket cap
+    return minhash_lsh_candidates(
+        corpus, text_col="text", key_col="key", num_hashes=8, bands=4, k=5,
+        max_bucket_size=None,
+    )
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -399,7 +404,10 @@ def _q_ngram_jaccard(spark, sf_dir):
     from graph_engine_spark.pipelines.dedup import minhash_lsh_candidates, ngram_jaccard
 
     corpus = _minhash_corpus(spark, sf_dir)
-    pairs = minhash_lsh_candidates(corpus, text_col="text", key_col="key", num_hashes=8, bands=4, k=5)
+    pairs = minhash_lsh_candidates(
+        corpus, text_col="text", key_col="key", num_hashes=8, bands=4, k=5,
+        max_bucket_size=None,
+    )
     verified = ngram_jaccard(corpus, pairs, text_col="text", key_col="key", k=5)
     return verified.select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
 

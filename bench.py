@@ -114,6 +114,26 @@ def main() -> None:
         t2, _ = timed(df.collect)
         queries[name] = round(t + t2, 3)
 
+    # production-mode minhash: identical plan to the oracle-checked
+    # minhash_lsh entry but xxhash64 hashing + degenerate-bucket cap —
+    # the configuration a corpus-scale dedup run would use
+    from graph_engine_spark.pipelines.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    prod_corpus = docs.select(F.col("doc_id").alias("key"), "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("key"),
+            F.concat(F.col("text"), F.lit(" graft near dup tail")).alias("text"),
+        )
+    )
+    t_mh_prod, _ = timed(
+        lambda: minhash_lsh_candidates(
+            prod_corpus, text_col="text", key_col="key", num_hashes=8, bands=4,
+            k=5, hash_mode="xxhash64", max_bucket_size=1000,
+        ).count()
+    )
+    queries["minhash_lsh_xxhash64"] = round(t_mh_prod, 3)
+
     total = round(sum(queries.values()), 3)
     pr_steps = pr.iterations
     result = {

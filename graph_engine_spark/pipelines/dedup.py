@@ -13,14 +13,23 @@ Five strategies, all shuffle-conscious:
   * n-gram Jaccard: explicit pairwise verify for a candidate set.
   * embedding cosine: see similarity.py.
 
-md5-derived hashing everywhere (not xxhash64) so every operator has a
-bit-identical DuckDB oracle.
+Hashing is selectable per call: hash_mode="md5" (default) derives every
+hash from md5 so each operator has a bit-identical DuckDB oracle — the
+correctness-gate mode; hash_mode="xxhash64" swaps in Spark's native
+xxhash64 (same plan, same 60-bit mix family, ~an order of magnitude
+cheaper per shingle) for production corpus-scale runs.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+_MASK60 = (1 << 60) - 1
 
 
 def _md5_long(c: Column, salt: int) -> Column:
@@ -31,6 +40,23 @@ def _md5_long(c: Column, salt: int) -> Column:
         16,
         10,
     ).cast("long")
+
+
+def _base_hash(c: Column, salt: int, hash_mode: str) -> Column:
+    """60-bit base hash for the minhash/simhash families.
+
+    hash_mode="md5": md5-derived (bit-identical DuckDB oracle — the
+    correctness-gate mode). hash_mode="xxhash64": Spark's native
+    xxhash64 masked to 60 bits — same downstream mix arithmetic, ~10×
+    cheaper per shingle; the production mode for corpus-scale runs
+    where no cross-engine oracle is replayed."""
+    if hash_mode == "xxhash64":
+        return F.xxhash64(F.concat(F.lit(str(salt) + ":"), c)).bitwiseAND(
+            F.lit(_MASK60)
+        )
+    if hash_mode == "md5":
+        return _md5_long(c, salt)
+    raise ValueError(f"unknown hash_mode {hash_mode!r} (md5|xxhash64)")
 
 
 _MASK30 = (1 << 30) - 1
@@ -91,6 +117,7 @@ def minhash_signatures(
     key_col: str = "doc_id",
     num_hashes: int = 32,
     k: int = 5,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(key, sig array<long>) minhash signature table.
 
@@ -109,7 +136,7 @@ def minhash_signatures(
     sh = docs.select(
         F.col(key_col).alias("key"), F.explode(shingles(F.col(text_col), k)).alias("s")
     )
-    based = sh.select("key", _md5_long(F.col("s"), 0).alias("H"))
+    based = sh.select("key", _base_hash(F.col("s"), 0, hash_mode).alias("H"))
     hashed = based.select(
         "key", *[mix_hash(F.col("H"), i).alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -128,10 +155,24 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    hash_mode: str = "md5",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (a < b) via banded minhash."""
+    """Candidate near-duplicate pairs (a < b) via banded minhash.
+
+    max_bucket_size is the degenerate-bucket guard — standard big-corpus
+    MinHash hygiene: a bucket shared by m documents contributes m²/2
+    pairs to the self-join, and real corpora always contain boilerplate/
+    near-empty documents that collapse into one signature (an LSH bucket
+    of 10^6 empty docs is 5·10^11 pairs from one key). Buckets larger
+    than the cap are dropped from candidate generation — their members
+    can still pair through their other (bands−1) buckets — and the drop
+    is logged with the bucket count so recall loss is observable. None
+    disables the guard (the correctness-gate configuration, where the
+    DuckDB oracle replays the identical uncapped join).
+    """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, key_col, num_hashes, k)
+    sig = minhash_signatures(docs, text_col, key_col, num_hashes, k, hash_mode)
     banded = sig.select(
         "key",
         F.posexplode(
@@ -143,6 +184,26 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        banded = banded.persist()
+        over_cap = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .persist()
+        )
+        n_dropped = over_cap.count()  # tiny table; also materializes it
+        if n_dropped:
+            worst = over_cap.agg(F.max("n")).first()[0]
+            logger.warning(
+                "minhash_lsh: dropping %d degenerate bucket(s) over cap %d "
+                "(largest holds %d keys) — members still pair via their "
+                "other bands",
+                n_dropped,
+                max_bucket_size,
+                worst,
+            )
+        banded = banded.join(over_cap.select("band", "bucket"), ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -185,7 +246,11 @@ def ngram_jaccard(
 
 
 def simhash_table(
-    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 32,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Simhash signatures (Charikar'02): per-token md5-derived hash bits
     vote +1/-1 per position; the signature packs the positive votes.
@@ -204,7 +269,7 @@ def simhash_table(
                 )
             )
         ).alias("token"),
-    ).withColumn("h", _md5_long(F.col("token"), 1))
+    ).withColumn("h", _base_hash(F.col("token"), 1, hash_mode))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i) % 2 == 1, 1).otherwise(-1)

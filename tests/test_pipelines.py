@@ -51,6 +51,68 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert 0.7 < j[(1, 2)] < 1.0
 
 
+def test_minhash_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """Big-corpus hygiene: a bucket shared by more keys than the cap is
+    quadratic in that bucket and is dropped from candidate generation;
+    normal near-dup pairs elsewhere are unaffected."""
+    from graph_engine_spark.pipelines.dedup import minhash_lsh_candidates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    near = base.replace("green", "blue")
+    # 30 byte-identical boilerplate docs share every band bucket
+    rows = [(i, "boilerplate header text repeated everywhere") for i in range(30)]
+    rows += [(100, base), (101, near)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r["key_a"], r["key_b"])
+        for r in minhash_lsh_candidates(
+            df, num_hashes=32, bands=16, k=3, max_bucket_size=10
+        ).collect()
+    }
+    # the planted near-dup survives; no boilerplate pair does
+    assert (100, 101) in capped
+    assert not any(a < 30 and b < 30 for a, b in capped)
+    # uncapped control: the degenerate bucket floods 30*29/2 pairs
+    uncapped = {
+        (r["key_a"], r["key_b"])
+        for r in minhash_lsh_candidates(
+            df, num_hashes=32, bands=16, k=3, max_bucket_size=None
+        ).collect()
+    }
+    assert sum(1 for a, b in uncapped if a < 30 and b < 30) == 30 * 29 // 2
+
+
+def test_minhash_lsh_xxhash64_production_mode(spark):
+    """hash_mode='xxhash64' keeps the same plan and finds the same
+    planted near-dups (different hash family, same LSH guarantees)."""
+    from graph_engine_spark.pipelines.dedup import minhash_lsh_candidates, simhash_table
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    near = base.replace("green", "blue")
+    other = "completely different text about spark dataframes and shuffle partitions here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (5, base)], ["doc_id", "text"]
+    )
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in minhash_lsh_candidates(
+            df, num_hashes=32, bands=16, k=3, hash_mode="xxhash64"
+        ).collect()
+    }
+    assert (1, 2) in got and (1, 5) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    # simhash production mode: identical docs get identical signatures
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_table(df, hash_mode="xxhash64").collect()}
+    assert sig[1] == sig[5]
+    assert sig[1] != sig[3]
+
+
 def test_simhash_near_dup_hamming(spark):
     from graph_engine_spark.pipelines.dedup import simhash_table
 
