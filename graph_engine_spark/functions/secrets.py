@@ -121,9 +121,19 @@ def redact(line_col, keep: int = 2):
 def annotate_nodes_with_secrets(nodes: DataFrame, findings: DataFrame) -> DataFrame:
     """Range join: finding.line_number ∈ [node.start_line, node.end_line]
     within the same path (reference graph_integration.py:150-157). The
-    path equi-key keeps the theta-join banded per file."""
+    path equi-key keeps the theta-join banded per file.
+
+    Each warning struct matches the reference secretWarnings entry shape
+    {secretType, lineNumber, snippet, confidence}
+    (graph_integration.py:39-46); the snippet is the REDACTED matched
+    line — never raw secret text — exactly as the reference stores it.
+    """
     f = findings.select(
-        F.col("path").alias("f_path"), "line_number", "secret_type", "confidence"
+        F.col("path").alias("f_path"),
+        "line_number",
+        "secret_type",
+        "confidence",
+        redact(F.col("line")).alias("snippet"),
     )
     joined = nodes.join(
         f,
@@ -137,7 +147,7 @@ def annotate_nodes_with_secrets(nodes: DataFrame, findings: DataFrame) -> DataFr
         F.collect_list(
             F.when(
                 F.col("secret_type").isNotNull(),
-                F.struct("secret_type", "line_number", "confidence"),
+                F.struct("secret_type", "line_number", "snippet", "confidence"),
             )
         ).alias("secretWarnings"),
     )

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -79,6 +81,10 @@ NODES_SCHEMA = StructType(
         StructField("files", ArrayType(StringType()), True),
         StructField("content_hash", StringType(), True),
         StructField("params", ArrayType(StringType()), True),
+        # dynamic instrumentation totals (reference manager.py:249-272
+        # update_function_call_count) — merged from the stateful call
+        # stream, null on purely static nodes
+        StructField("dynamic_call_count", LongType(), True),
     ]
 )
 
@@ -87,8 +93,17 @@ EDGES_SCHEMA = StructType(
         StructField("src", StringType(), False),
         StructField("dst", StringType(), False),
         StructField("edge_type", StringType(), False),
-        StructField("repo", StringType(), False),
-        StructField("path", StringType(), False),
+        # dynamic call edges carry no file provenance (reference
+        # edge_data has no filepath, manager.py:196-204) — nullable
+        StructField("repo", StringType(), True),
+        StructField("path", StringType(), True),
+        # dynamic-call annotations (reference manager.py:180-215):
+        # dynamic=true marks edges observed at runtime (statically
+        # extracted edges keep null), counters are running totals
+        StructField("dynamic", BooleanType(), True),
+        StructField("dynamic_call_count", LongType(), True),
+        StructField("first_call_time", DoubleType(), True),
+        StructField("last_call_time", DoubleType(), True),
     ]
 )
 

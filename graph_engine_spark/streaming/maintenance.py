@@ -57,6 +57,18 @@ def empty_state(spark) -> GraphState:
     )
 
 
+def _align(df: DataFrame, schema) -> DataFrame:
+    """Add any schema columns the frame lacks as typed nulls and project
+    to schema order — freshly extracted rows meet the state tables'
+    wider shape (dynamic-call columns) here."""
+    cols = set(df.columns)
+    out = df
+    for f in schema.fields:
+        if f.name not in cols:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return out.select(*[f.name for f in schema.fields])
+
+
 def _changed_only(batch: DataFrame, file_hashes: DataFrame) -> DataFrame:
     """Parse-skip: drop rows whose stored hash equals the incoming hash
     (reference manager.py:683-694)."""
@@ -86,13 +98,23 @@ def apply_upserts(state: GraphState, batch: DataFrame) -> GraphState:
 
     # Node rows are keyed by id and may be defined by several files
     # (non-file-qualified ids): recompute the merge over surviving rows.
+    # Dynamic-call annotations are NOT carried through the merge — the
+    # stateful call stream (callcounts.py) is their source of truth and
+    # merge_dynamic_calls re-applies the running totals after upserts.
+    from graph_engine_spark.schemas import EDGES_SCHEMA, NODES_SCHEMA
+
     kept_nodes = state.nodes.join(paths, "path", "left_anti")
     kept_edges = state.edges.join(paths, "path", "left_anti")
     from graph_engine_spark.extractor.extract import merge_nodes
 
-    nodes = merge_nodes(kept_nodes.unionByName(new_nodes)).persist()
+    nodes = _align(
+        merge_nodes(
+            kept_nodes.unionByName(_align(new_nodes, NODES_SCHEMA), allowMissingColumns=True)
+        ),
+        NODES_SCHEMA,
+    ).persist()
     edges = (
-        kept_edges.unionByName(new_edges)
+        kept_edges.unionByName(_align(new_edges, EDGES_SCHEMA))
         .dropDuplicates(["src", "dst", "edge_type"])
         .persist()
     )
@@ -112,16 +134,27 @@ def apply_deletes(state: GraphState, deleted_paths: DataFrame) -> GraphState:
     """deleted events (reference in_memory.py:107-169): rows of the file
     vanish; multi-file node ids keep their other files — `files` is
     recomputed by removing the deleted path and rows with empty files
-    drop out (shared-node refcount semantics)."""
+    drop out (shared-node refcount semantics).
+
+    Fully distributed — no driver-side materialization of the delete
+    set: the files-per-node subtraction is explode → anti-join →
+    re-aggregate, so a repo-wipe event (millions of paths in one CDC
+    batch) costs one bounded shuffle instead of a driver OOM. Rows
+    never exceed the stored node row's own width (the re-aggregated
+    array is a subset of the node's existing files array)."""
     p = deleted_paths.select("path").distinct()
-    # CDC delete batches are small — materialize as a literal array for
-    # the files-set subtraction (scale path: explode files → anti-join →
-    # re-aggregate, only needed if a single batch deletes millions).
-    deleted = [r["path"] for r in p.collect()]
-    deleted_arr = F.array(*[F.lit(x) for x in deleted]) if deleted else F.array()
+    surviving = (
+        state.nodes.select("id", F.explode("files").alias("path"))
+        .join(p, "path", "left_anti")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("path")).alias("_files"))
+    )
     nodes = (
-        state.nodes.withColumn("files", F.array_except("files", deleted_arr))
-        .filter(F.size("files") > 0)
+        # inner join: ids whose every file was deleted have no surviving
+        # row and drop out (the size>0 refcount filter)
+        state.nodes.join(surviving, "id", "inner")
+        .withColumn("files", F.col("_files"))
+        .drop("_files")
         # provenance follows a surviving file (reference keeps the node
         # alive off its remaining files, in_memory.py:130-150)
         .withColumn("path", F.element_at("files", 1))
@@ -129,6 +162,93 @@ def apply_deletes(state: GraphState, deleted_paths: DataFrame) -> GraphState:
     edges = state.edges.join(p, "path", "left_anti")
     hashes = state.file_hashes.join(p, "path", "left_anti")
     return GraphState(nodes, edges, hashes)
+
+
+def merge_dynamic_calls(state: GraphState, totals: DataFrame) -> GraphState:
+    """Merge dynamic call-event RUNNING TOTALS into the graph —
+    reference manager.py:180-272.
+
+    totals: (src, dst, dynamic_call_count, first_call_time,
+    last_call_time), the output of stateful_call_counts (running totals
+    per edge, so the merge is idempotent replace, never add — replaying
+    the latest micro-batch's totals can't double-count).
+
+    Reference semantics mirrored:
+      * an existing (src, dst, 'calls') edge is annotated in place:
+        dynamic=true, counter and first/last call times set
+        (manager.py:186-194);
+      * an unseen (src, dst) pair becomes a NEW dynamic calls edge with
+        no file provenance (manager.py:196-215 — the reference edge_data
+        carries no filepath either);
+      * per-node totals (update_function_call_count, manager.py:249-272):
+        each CALLEE node's dynamic_call_count is the sum of its incoming
+        dynamic edge totals.
+    """
+    from graph_engine_spark.schemas import EDGES_SCHEMA
+
+    t = totals.select(
+        "src",
+        "dst",
+        F.col("dynamic_call_count").cast("long").alias("_cnt"),
+        F.col("first_call_time").cast("double").alias("_first"),
+        F.col("last_call_time").cast("double").alias("_last"),
+    )
+    edges = _align(state.edges, EDGES_SCHEMA)
+    annotated = (
+        edges.join(t, ["src", "dst"], "left")
+        .withColumn("_hit", F.col("_cnt").isNotNull() & (F.col("edge_type") == "calls"))
+        .select(
+            "src",
+            "dst",
+            "edge_type",
+            "repo",
+            "path",
+            F.when(F.col("_hit"), F.lit(True)).otherwise(F.col("dynamic")).alias("dynamic"),
+            F.when(F.col("_hit"), F.col("_cnt"))
+            .otherwise(F.col("dynamic_call_count"))
+            .alias("dynamic_call_count"),
+            F.when(F.col("_hit"), F.col("_first"))
+            .otherwise(F.col("first_call_time"))
+            .alias("first_call_time"),
+            F.when(F.col("_hit"), F.col("_last"))
+            .otherwise(F.col("last_call_time"))
+            .alias("last_call_time"),
+        )
+    )
+    fresh = (
+        t.join(
+            edges.filter(F.col("edge_type") == "calls").select("src", "dst"),
+            ["src", "dst"],
+            "left_anti",
+        )
+        .select(
+            "src",
+            "dst",
+            F.lit("calls").alias("edge_type"),
+            F.lit(None).cast("string").alias("repo"),
+            F.lit(None).cast("string").alias("path"),
+            F.lit(True).alias("dynamic"),
+            F.col("_cnt").alias("dynamic_call_count"),
+            F.col("_first").alias("first_call_time"),
+            F.col("_last").alias("last_call_time"),
+        )
+    )
+    new_edges = annotated.unionByName(fresh)
+
+    from graph_engine_spark.schemas import NODES_SCHEMA
+
+    node_totals = t.groupBy(F.col("dst").alias("id")).agg(
+        F.sum("_cnt").alias("_node_cnt")
+    )
+    new_nodes = (
+        _align(state.nodes, NODES_SCHEMA).join(node_totals, "id", "left")
+        .withColumn(
+            "dynamic_call_count",
+            F.coalesce("_node_cnt", "dynamic_call_count"),
+        )
+        .drop("_node_cnt")
+    )
+    return GraphState(new_nodes, new_edges, state.file_hashes)
 
 
 def start_streaming_maintenance(

@@ -261,7 +261,15 @@ def test_secret_annotation_range_join(spark):
     out = {r["id"]: r for r in annotate_nodes_with_secrets(nodes, scan_secrets(corpus)).collect()}
     assert out["function:f"]["hasSecret"] is True
     assert out["function:g"]["hasSecret"] is False
-    assert len(out["function:f"]["secretWarnings"]) >= 1
+    warnings = out["function:f"]["secretWarnings"]
+    assert len(warnings) >= 1
+    # warning struct parity with the reference secretWarnings entry
+    # {secretType, lineNumber, snippet, confidence}
+    # (graph_integration.py:39-46): snippet present and REDACTED
+    w = warnings[0]
+    assert set(w.asDict()) == {"secret_type", "line_number", "snippet", "confidence"}
+    assert "s3cr3tpass" not in w["snippet"]
+    assert "********" in w["snippet"]
 
 
 def test_minhash_signature_matches_hashlib(spark, docs):

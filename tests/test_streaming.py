@@ -308,3 +308,95 @@ def test_streaming_rename_window_out_of_order_batches(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == {("old/a.py", "new/a_renamed.py")}
+
+
+# --- dynamic call totals merged into graph state (manager.py:180-272) --
+
+
+def test_merge_dynamic_calls_upsert_and_new_edge(spark):
+    """An existing static calls edge is annotated in place (never
+    duplicated); an unseen pair becomes a new dynamic edge; replaying a
+    later running total replaces, not adds; callee nodes carry summed
+    totals (reference test_dependency_graph_manager semantics)."""
+    from graph_engine_spark.streaming.maintenance import merge_dynamic_calls
+
+    src_code = (
+        "def shared_func():\n    return 1\n\n"
+        "def caller():\n    return shared_func()\n"
+    )
+    state = empty_state(spark)
+    state = apply_upserts(state, corpus_df(spark, [("r", "a.py", src_code)]))
+    static_edge_count = state.edges.count()
+    has_call_edge = state.edges.filter(
+        (F.col("src") == "function:caller")
+        & (F.col("dst") == "function:shared_func")
+        & (F.col("edge_type") == "calls")
+    )
+    assert has_call_edge.count() == 1
+
+    totals = spark.createDataFrame(
+        [
+            ("function:caller", "function:shared_func", 2, 10.0, 12.0),
+            ("function:ghost", "function:shared_func", 5, 11.0, 15.0),  # unseen pair
+        ],
+        "src string, dst string, dynamic_call_count long, "
+        "first_call_time double, last_call_time double",
+    )
+    merged = merge_dynamic_calls(state, totals)
+    # existing edge annotated in place — total edge rows grew by exactly
+    # the one brand-new dynamic edge
+    assert merged.edges.count() == static_edge_count + 1
+    updated = merged.edges.filter(
+        (F.col("src") == "function:caller") & (F.col("edge_type") == "calls")
+    ).collect()
+    assert len(updated) == 1
+    assert updated[0]["dynamic"] is True
+    assert updated[0]["dynamic_call_count"] == 2
+    assert updated[0]["first_call_time"] == 10.0 and updated[0]["last_call_time"] == 12.0
+    # static provenance preserved on the annotated edge
+    assert updated[0]["path"] == "a.py"
+    fresh = merged.edges.filter(F.col("src") == "function:ghost").collect()
+    assert len(fresh) == 1
+    assert fresh[0]["dynamic"] is True and fresh[0]["dynamic_call_count"] == 5
+    assert fresh[0]["path"] is None  # dynamic edges carry no provenance
+    # callee node totals: 2 + 5 incoming dynamic calls
+    callee = merged.nodes.filter(F.col("id") == "function:shared_func").collect()
+    assert callee[0]["dynamic_call_count"] == 7
+
+    # replay with a LATER running total: replace, never add
+    totals2 = spark.createDataFrame(
+        [("function:caller", "function:shared_func", 4, 9.0, 20.0)],
+        "src string, dst string, dynamic_call_count long, "
+        "first_call_time double, last_call_time double",
+    )
+    merged2 = merge_dynamic_calls(merged, totals2)
+    again = merged2.edges.filter(
+        (F.col("src") == "function:caller") & (F.col("edge_type") == "calls")
+    ).collect()
+    assert len(again) == 1
+    assert again[0]["dynamic_call_count"] == 4
+    assert again[0]["first_call_time"] == 9.0 and again[0]["last_call_time"] == 20.0
+    # the ghost edge from the earlier merge persists untouched
+    assert merged2.edges.filter(F.col("src") == "function:ghost").count() == 1
+
+
+def test_apply_deletes_large_batch_stays_distributed(spark):
+    """A wide delete batch (hundreds of paths at once) resolves
+    correctly through the explode→anti-join→re-aggregate path, and the
+    delete plan contains no driver-side collected literal array."""
+    files = [(f"f{i:03d}.py", FILE_A_V1) for i in range(60)]
+    shared = [("keep.py", FILE_B)]
+    state = empty_state(spark)
+    state = apply_upserts(state, corpus_df(spark, [("r", p, c) for p, c in files + shared]))
+    # delete every f*.py in one batch; keep.py survives
+    batch = spark.createDataFrame([(p,) for p, _ in files], ["path"])
+    state2 = apply_deletes(state, batch)
+    assert state2.nodes.filter(F.col("path").startswith("f")).count() == 0
+    shared_node = state2.nodes.filter(F.col("id") == "function:shared_func").collect()
+    assert len(shared_node) == 1 and shared_node[0]["files"] == ["keep.py"]
+    assert state2.file_hashes.count() == 1
+    # no LocalRelation of literal paths / no array_except literal in plan
+    plan = state2.nodes._sc._jvm.PythonSQLUtils.explainString(
+        state2.nodes._jdf.queryExecution(), "simple"
+    )
+    assert "array_except" not in plan
