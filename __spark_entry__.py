@@ -420,6 +420,28 @@ def _q_simhash(spark, sf_dir):
     return simhash_table(d, text_col="text", key_col="doc_id", bits=16)
 
 
+def _q_simhash_near_dup(spark, sf_dir):
+    """SimHash Hamming near-dup pairs (pipelines/dedup.py, Manku'07
+    pigeonhole banding): 32-bit signatures, 4 chunk buckets, exact
+    popcount verify ≤ 3 — over documents ∪ near-identical copies."""
+    from graph_engine_spark.pipelines.dedup import simhash_near_dups
+
+    corpus = _minhash_corpus(spark, sf_dir)
+    pairs = simhash_near_dups(
+        corpus, text_col="text", key_col="key", bits=32, max_hamming=3
+    )
+    return pairs.select("key_a", "key_b", "hamming")
+
+
+def _q_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (pipelines/dedup.py, Schleimer'03 MOSS):
+    char 8-gram rolling hashes, window-4 minima, deduped."""
+    from graph_engine_spark.pipelines.dedup import winnowing_fingerprints
+
+    d = _load(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, k=8, window=4)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     """ANN top-k via random-hyperplane LSH bucketing + multiprobe
     (pipelines/similarity.py) — the scale path next to brute force."""
@@ -431,11 +453,14 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: LSH-blocked self-join + verify."""
+    """Embedding-cosine near-dup pairs: LSH-blocked self-join + verify.
+    num_planes=2 is the SMALL-SF oracle configuration (coarse buckets →
+    near-total recall on a 500-vector table); production plane count
+    grows with corpus size — see all_pairs_above's docstring."""
     from graph_engine_spark.pipelines.similarity import all_pairs_above
 
     e = _load(spark, sf_dir, "embeddings")
-    pairs = all_pairs_above(e, threshold=0.30, num_planes=2)
+    pairs = all_pairs_above(e, threshold=0.30, num_planes=2, dim=_EMB_DIM)
     return pairs.select("key_a", "key_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -607,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "winnowing": _q_winnowing,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -770,6 +797,79 @@ hx AS (SELECT doc_id, substr(md5('1:' || token), 1, 15) AS x FROM tok),
 hv AS (SELECT doc_id, {_sql_hex15_to_long('x')} AS h FROM hx),
 votes AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id)
 SELECT doc_id, ({pack})::BIGINT AS simhash FROM votes
+"""
+
+
+def _simhash_neardup_oracle(bits: int = 32, max_h: int = 3) -> str:
+    """DuckDB twin of simhash_near_dups over documents ∪ mutated copies:
+    identical signature pipeline, pigeonhole chunk join, popcount
+    verify."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(bits)
+    )
+    n_chunks = max_h + 1
+    width = bits // n_chunks
+    chunk_parts = []
+    for c in range(n_chunks):
+        lo = c * width
+        w = bits - lo if c == n_chunks - 1 else width
+        chunk_parts.append(
+            f"SELECT key, simhash, {c} AS chunk, (simhash >> {lo}) & {(1 << w) - 1} AS val FROM sig"
+        )
+    chunks = "\n  UNION ALL\n  ".join(chunk_parts)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id AS key, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS key, text || ' graft near dup tail' AS text FROM documents
+),
+tok AS (
+  SELECT key, unnest(list_distinct(list_filter(
+    string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'),
+    t -> t <> ''))) AS token
+  FROM corpus
+),
+hx AS (SELECT key, substr(md5('1:' || token), 1, 15) AS x FROM tok),
+hv AS (SELECT key, {_sql_hex15_to_long('x')} AS h FROM hx),
+votes AS (SELECT key, {votes} FROM hv GROUP BY key),
+sig AS (SELECT key, ({pack})::BIGINT AS simhash FROM votes),
+chunked AS (
+  {chunks}
+)
+SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunked a JOIN chunked b
+  ON a.chunk = b.chunk AND a.val = b.val AND a.key < b.key
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_h}
+"""
+
+
+def _winnowing_oracle(k: int = 8, window: int = 4) -> str:
+    gram_hash = _sql_hex15_to_long(f"substr(md5('2:' || g), 1, {15})")
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS key, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+grams AS (
+  SELECT key, CASE WHEN length(t) < {k} THEN [t]
+    ELSE list_transform(range(1, length(t) - {k} + 2), i -> substr(t, i::INT, {k})) END AS gs
+  FROM norm
+),
+hashed AS (
+  SELECT key, list_transform(gs, g -> {gram_hash}) AS hs FROM grams
+),
+mins AS (
+  SELECT key, CASE WHEN len(hs) <= {window} THEN [list_min(hs)]
+    ELSE list_transform(range(1, len(hs) - {window} + 2),
+                        i -> list_min(list_slice(hs, i::INT, (i + {window - 1})::INT))) END AS ms
+  FROM hashed
+)
+SELECT key, unnest(list_distinct(ms)) AS fingerprint FROM mins
 """
 
 
@@ -1238,6 +1338,8 @@ FROM cand c JOIN shd a ON c.key_a = a.key JOIN shd b ON c.key_b = b.key""",
             extra_cte=",\nshd AS (SELECT key, list_distinct(shingles) AS shd FROM sh)",
         ),
         "simhash": _simhash_oracle(16),
+        "simhash_near_dup": _simhash_neardup_oracle(32, 3),
+        "winnowing": _winnowing_oracle(8, 4),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ivf_topk": _ivf_oracle(),
         "embedding_near_dup": _near_dup_oracle(),

@@ -105,6 +105,7 @@ def main() -> None:
         "two_hop",
         "minhash_lsh",
         "simhash",
+        "simhash_near_dup",
         "ann_lsh_topk",
         "secret_scan",
         "lang_id",
@@ -133,6 +134,13 @@ def main() -> None:
         ).count()
     )
     queries["minhash_lsh_xxhash64"] = round(t_mh_prod, 3)
+
+    # winnowing fingerprints: count() not collect() — the fingerprint
+    # table is ~hundreds of rows per document
+    from graph_engine_spark.pipelines.dedup import winnowing_fingerprints
+
+    t_win, _ = timed(lambda: winnowing_fingerprints(docs, k=8, window=4).count())
+    queries["winnowing"] = round(t_win, 3)
 
     total = round(sum(queries.values()), 3)
     pr_steps = pr.iterations

@@ -161,8 +161,30 @@ _JS_ARROW = re.compile(
 )
 
 
+_JS_IDENT = re.compile(r"^(?:\.\.\.)?([a-zA-Z_$][a-zA-Z0-9_$]*)$")
+
+
 def _js_params(raw: str) -> list:
-    return [p.strip().split("=")[0].strip() for p in raw.split(",") if p.strip()]
+    """Identifier-shaped parameter names from a raw JS parameter list.
+
+    Destructured or nested-default params — `function f({a, b}, c = g(1))`
+    — would yield garbage tokens ('{a', 'b}') under a naive comma split
+    (and `[^)]*` in the function regex truncates at the first inner
+    ')'), polluting keyword-over-params search. Brace/bracket groups are
+    blanked before splitting and only clean identifier tokens (optionally
+    rest `...x`) survive; a truncated/destructured tail contributes
+    nothing rather than noise.
+    """
+    # blank out {...} and [...] destructuring groups (non-nested pass is
+    # enough: nested groups still leave no identifier-shaped token)
+    cleaned = re.sub(r"[{\[][^}\]]*[}\]]?", " ", raw)
+    out = []
+    for p in cleaned.split(","):
+        name = p.split("=")[0].strip()
+        m = _JS_IDENT.match(name)
+        if m:
+            out.append(name if name.startswith("...") else m.group(1))
+    return out
 
 
 def extract_js(path: str, content: str):

@@ -88,20 +88,48 @@ def auto_partitions(
     )
 
 
+#: adjacency rows are split when a vertex's out-degree exceeds this —
+#: bounded in the code-import domain (a file imports hundreds of
+#: modules, not millions) but unbounded in general graphs; one 10^7-out-
+#: degree hub as a single collect_list row is a multi-GB array and an
+#: executor OOM. 64k string dsts ≈ 2-4 MB per row — safely inside any
+#: executor's task memory.
+MAX_OUT_DEGREE_PER_ROW = 65_536
+
+
 def build_adjacency(
     edges: DataFrame,
     num_partitions: int,
     src: str = "src",
     dst: str = "dst",
     persist: bool = True,
+    max_out_degree: int = MAX_OUT_DEGREE_PER_ROW,
 ) -> DataFrame:
     """CSR-style adjacency: (src, dsts array, out_deg), hash-partitioned
-    on src and persisted (memory-and-disk: spill-safe at scale)."""
+    on src and persisted (memory-and-disk: spill-safe at scale).
+
+    Extreme-out-degree vertices are split across multiple rows of at
+    most ~max_out_degree dsts (hash-assigned chunks), so no aggregation
+    buffer or cached row ever holds a hub's whole neighborhood.
+    ``out_deg`` remains the vertex's TOTAL out-degree on every chunk —
+    consumers divide rank mass by it, and equi-joins on src simply fan
+    out over the chunk rows (explode semantics are unchanged).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    n_chunks = F.ceil(F.col("out_deg") / F.lit(max_out_degree)).cast("int")
     adj = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .groupBy("src")
-        .agg(F.collect_list("dst").alias("dsts"))
-        .withColumn("out_deg", F.size("dsts"))
+        e.join(deg, "src")
+        .withColumn(
+            "_chunk",
+            F.when(
+                F.col("out_deg") > max_out_degree,
+                F.pmod(F.xxhash64("dst"), n_chunks),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("src", "_chunk")
+        .agg(F.collect_list("dst").alias("dsts"), F.min("out_deg").alias("out_deg"))
+        .drop("_chunk")
         .repartition(num_partitions, "src")
     )
     if persist:

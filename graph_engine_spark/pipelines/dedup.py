@@ -283,3 +283,116 @@ def simhash_table(
             F.lit(0).cast("long")
         )
     return agg.select(F.col("key").alias(key_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance ≤ max_hamming —
+    the Manku et al. (WWW'07) banded search, not an all-pairs scan.
+
+    Pigeonhole: split the signature into (max_hamming+1) chunks; any
+    two signatures within Hamming distance h must agree EXACTLY on at
+    least one chunk. Candidate generation is therefore an equi-join on
+    (chunk index, chunk value) — worst key is one chunk bucket, never
+    the corpus — followed by an exact popcount(xor) verify. Returns
+    (key_a, key_b, hamming) with key_a < key_b.
+    """
+    n_chunks = max_hamming + 1
+    width = bits // n_chunks
+    sig = simhash_table(docs, text_col, key_col, bits, hash_mode).select(
+        F.col(key_col).alias("key"), "simhash"
+    )
+    chunk_cols = []
+    for c in range(n_chunks):
+        lo = c * width
+        w = bits - lo if c == n_chunks - 1 else width  # last chunk takes remainder
+        chunk_cols.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", lo).bitwiseAND(F.lit((1 << w) - 1)).alias("val"),
+            )
+        )
+    chunked = sig.select(
+        "key", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("key", "simhash", "c.chunk", "c.val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every character k-gram of the normalized
+    text, slide a window of `window` consecutive k-gram hashes, keep
+    each window's minimum, dedupe. Guarantees any shared substring of
+    length ≥ k + window − 1 yields at least one shared fingerprint.
+
+    Returns (key, fingerprint) exploded rows.
+
+    Shape: k-grams are POSEXPLODED to rows and the per-window minimum is
+    a running `min() OVER (ROWS BETWEEN CURRENT AND window-1 FOLLOWING)`
+    — one pass, linear work. (The tempting all-array formulation —
+    transform over sequence with array_min(slice(...)) — inlines the
+    whole upstream expression tree into every window position after
+    projection collapse, exploding codegen to O(len²) per document;
+    measured 40 s for 20 documents vs sub-second here.) The window
+    partitions by document key, so parallelism is documents and no
+    partition outgrows one document's grams.
+    """
+    from pyspark.sql import Window as W
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    n = F.length(norm)
+    grams = F.when(n < k, F.array(norm)).otherwise(
+        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: norm.substr(i, F.lit(k)))
+    )
+    pos_grams = docs.select(
+        F.col(key_col).alias("key"), F.posexplode(grams).alias("pos", "g")
+    )
+    hashed = pos_grams.select(
+        "key", "pos", _base_hash(F.col("g"), 2, hash_mode).alias("h")
+    )
+    run = W.partitionBy("key").orderBy("pos").rowsBetween(0, window - 1)
+    per_key = W.partitionBy("key")
+    mins = hashed.select(
+        "key",
+        "pos",
+        F.min("h").over(run).alias("fingerprint"),
+        F.max("pos").over(per_key).alias("_mx"),
+    )
+    # valid window starts: 0..n_grams-window (a short document keeps
+    # only pos 0, whose clipped window covers every gram)
+    return (
+        mins.filter(F.col("pos") <= F.greatest(F.col("_mx") - window + 1, F.lit(0)))
+        .select("key", "fingerprint")
+        .distinct()
+    )

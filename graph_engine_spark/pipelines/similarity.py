@@ -101,18 +101,33 @@ def lsh_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(key_col)).limit(k)
 
 
+def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from one row (LIMIT-1 scan). Callers
+    that know the dim pass it explicitly and skip this action."""
+    first = embeddings.select(vec_col).first()
+    return len(first[vec_col]) if first else 0
+
+
 def all_pairs_above(
     embeddings: DataFrame,
     threshold: float,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     num_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-blocked self-join, cosine
     verify ≥ threshold. The bucket equi-join replaces the O(n²) cross
-    product; lower num_planes = higher recall, bigger buckets."""
-    first = embeddings.select(vec_col).first()
-    dim = len(first[vec_col]) if first else 0
+    product; lower num_planes = higher recall, bigger buckets.
+
+    num_planes must GROW with corpus size: b planes split the space into
+    2^b buckets, so expected bucket size is n/2^b and the self-join does
+    Σ m_i² work — at 10^9 vectors, 4 planes is n²/16, while ~24 planes
+    (16M buckets) keeps buckets in the thousands. The recall/coverage
+    tradeoff is the standard LSH OR-amplification: run several
+    independent plane sets and union pairs."""
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
     sigs = embeddings.select(
         F.col(key_col).alias("key"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -146,12 +161,13 @@ def ivf_assign(
     n_cells: int = 8,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """(key, v, cell): nearest-centroid assignment, ties to the lowest
     cell index (deterministic). argmax via array_max over (dot, prio)
     structs — each dot product appears once (no exponential fold)."""
-    first = embeddings.select(vec_col).first()
-    dim = len(first[vec_col]) if first else 0
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
     cents = ivf_centroids(dim, n_cells)
     v = F.col(vec_col).cast("array<double>")
     scored = [
@@ -189,7 +205,8 @@ def ivf_topk(
 
     order = sorted(range(n_cells), key=lambda c: (-pydot(query_vec, cents[c]), c))
     probe = order[:nprobe]
-    assigned = ivf_assign(embeddings, n_cells, vec_col, key_col)
+    # dim is known from the query vector — no inference scan
+    assigned = ivf_assign(embeddings, n_cells, vec_col, key_col, dim=dim)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = assigned.filter(F.col("cell").isin(probe))
     scored = cand.select(

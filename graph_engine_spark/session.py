@@ -30,6 +30,13 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = 2 * cores
+    # Heap must scale with concurrent tasks: execution memory is shared
+    # by all running tasks, so a heap sized for 8 threads silently
+    # SPILLS at 32 (measured: identical 20M-edge superstep 6s at
+    # local[8]/24g but 28s at local[32]/24g, back to 8s at 80g). A real
+    # cluster expresses this as spark.executor.memory per executor
+    # core; locally we scale the single JVM.
+    default_mem = f"{max(24, int(cores * 2.5))}g"
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -40,7 +47,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

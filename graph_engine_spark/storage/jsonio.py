@@ -1,0 +1,152 @@
+"""Reference-format JSON snapshot import/export.
+
+The reference persists its whole graph as ONE JSON document
+``{nodes, edges, file_nodes}`` (reference json_storage.py:173-232 save,
+:47-107 load; shipped sample ``data/graph_data.json``). The engine's
+durable state is versioned Parquet (Iceberg snapshots off-sandbox) —
+the scale path — but this shim round-trips the reference's document so
+its fixtures and snapshots load directly and our state can be handed
+back to a reference deployment.
+
+Field mapping (reference → engine):
+  node:  filepath → path; id/type/name/start_line/end_line/files as-is;
+         dynamic_call_count carried when present.
+  edge:  source/target/type → src/dst/edge_type; file → path;
+         dynamic, dynamic_call_count, first_call_time, last_call_time
+         carried when present. The reference's per-edge uuid ``id``
+         (``contains:<uuid4>``) is regenerated deterministically on
+         export (sha-derived — the engine's documented deviation from
+         uuid4, extractor/pyext.py).
+  file_nodes: derived view {file → [node ids]} — recomputed from the
+         node ``files`` arrays on export, not stored.
+
+The document is driver-sized BY DESIGN (the reference loads it into one
+Python process); import parallelizes immediately via createDataFrame,
+and export collects — callers at corpus scale use the Parquet state and
+never this format. Export is atomic tmp-write + os.replace, mirroring
+json_storage.py:217-224.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from graph_engine_spark.schemas import EDGES_SCHEMA, NODES_SCHEMA
+
+
+def import_reference_json(spark, json_path: str):
+    """Load a reference ``{nodes, edges, file_nodes}`` document into a
+    GraphState (nodes/edges typed to the engine schemas; file_hashes is
+    empty — the reference document does not store per-file content
+    hashes, so the first maintenance batch after an import re-hashes)."""
+    from graph_engine_spark.streaming.maintenance import GraphState, empty_state
+
+    with open(json_path, encoding="utf-8") as f:
+        data = json.load(f)
+
+    node_rows = []
+    for n in data.get("nodes", []):
+        node_rows.append(
+            (
+                n["id"],
+                n.get("type", "unknown"),
+                n.get("name", n["id"]),
+                n.get("repo", ""),
+                n.get("filepath", n.get("path", "")),
+                n.get("start_line"),
+                n.get("end_line"),
+                list(n.get("files", []) or []) or None,
+                n.get("content_hash"),
+                list(n["parameters"]) if n.get("parameters") else None,
+                n.get("dynamic_call_count"),
+            )
+        )
+    edge_rows = []
+    for e in data.get("edges", []):
+        edge_rows.append(
+            (
+                e["source"],
+                e["target"],
+                e.get("type", "unknown"),
+                e.get("repo", ""),
+                e.get("file", e.get("path")),
+                e.get("dynamic"),
+                e.get("dynamic_call_count"),
+                e.get("first_call_time"),
+                e.get("last_call_time"),
+            )
+        )
+    base = empty_state(spark)
+    nodes = (
+        spark.createDataFrame(node_rows, NODES_SCHEMA)
+        if node_rows
+        else base.nodes
+    )
+    edges = (
+        spark.createDataFrame(edge_rows, EDGES_SCHEMA)
+        if edge_rows
+        else base.edges
+    )
+    return GraphState(nodes=nodes, edges=edges, file_hashes=base.file_hashes)
+
+
+def _clean(d: dict) -> dict:
+    return {k: v for k, v in d.items() if v is not None}
+
+
+def _edge_id(src: str, dst: str, edge_type: str) -> str:
+    h = hashlib.sha256(f"{src}:{dst}:{edge_type}".encode()).hexdigest()[:16]
+    return f"{edge_type}:{h}"
+
+
+def export_reference_json(state, json_path: str) -> None:
+    """Write GraphState as a reference-compatible
+    ``{nodes, edges, file_nodes}`` document (atomic tmp + replace)."""
+    nodes = state.nodes.collect()
+    edges = state.edges.collect()
+    data = {"nodes": [], "edges": [], "file_nodes": {}}
+    for r in nodes:
+        data["nodes"].append(
+            _clean(
+                {
+                    "id": r["id"],
+                    "type": r["type"],
+                    "name": r["name"],
+                    "filepath": r["path"],
+                    "start_line": r["start_line"],
+                    "end_line": r["end_line"],
+                    "files": list(r["files"]) if r["files"] else None,
+                    "parameters": list(r["params"]) if r["params"] else None,
+                    "dynamic_call_count": r["dynamic_call_count"],
+                }
+            )
+        )
+        for fpath in r["files"] or []:
+            data["file_nodes"].setdefault(fpath, []).append(r["id"])
+    for r in edges:
+        data["edges"].append(
+            _clean(
+                {
+                    "source": r["src"],
+                    "target": r["dst"],
+                    "type": r["edge_type"],
+                    "id": _edge_id(r["src"], r["dst"], r["edge_type"]),
+                    "file": r["path"],
+                    "dynamic": r["dynamic"],
+                    "dynamic_call_count": r["dynamic_call_count"],
+                    "first_call_time": r["first_call_time"],
+                    "last_call_time": r["last_call_time"],
+                }
+            )
+        )
+    for fpath in data["file_nodes"]:
+        data["file_nodes"][fpath] = sorted(data["file_nodes"][fpath])
+
+    tmp = f"{json_path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(data, f, indent=2)
+    os.replace(tmp, json_path)

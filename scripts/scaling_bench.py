@@ -8,10 +8,13 @@ report PageRank supersteps/sec + edges-processed/sec at each, and
 efficiency = (throughput_4N / throughput_N) / 4.
 
 Each measurement runs in a subprocess (a JVM can't change master); the
-child prints one JSON line, this parent aggregates into
-BENCH_SCALING.json and a markdown section for BASELINE.md.
+child prints one JSON line. The parent forms PAIRED HOST WINDOWS — the
+two levels run back-to-back, alternating order, one efficiency ratio
+per window, mean of ratios as the headline — and regenerates
+BENCH_SCALING.json in exactly that structure (the committed JSON is
+always reproducible by this script).
 
-Usage: python scripts/scaling_bench.py [--n 8] [--files 20000]
+Usage: python scripts/scaling_bench.py [--n 8] [--files 120000] [--windows 3]
 """
 
 from __future__ import annotations
@@ -60,6 +63,27 @@ print(json.dumps({
 """
 
 
+def cpu_probe(seconds: float = 3.0) -> float:
+    """Single-threaded CPU throughput probe (iterations/sec of a fixed
+    arithmetic loop). Run immediately before each child: if the host's
+    deliverable CPU shifts between the two halves of a window, the
+    probes disagree and the window is rejected — the programmatic form
+    of the round-1 host-variance screening."""
+    import time as _t
+
+    n = 0
+    x = 1.0
+    t0 = _t.time()
+    deadline = t0 + seconds
+    while _t.time() < deadline:
+        for _ in range(10_000):
+            x = x * 1.000000119 + 1e-9
+            if x > 2.0:
+                x -= 1.0
+        n += 10_000
+    return n / (_t.time() - t0)
+
+
 def run(cores: int, files: int, args_imports: int, args_partitions: int) -> dict:
     env = dict(os.environ, REPO_DIR=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out = subprocess.run(
@@ -83,33 +107,109 @@ def main() -> None:
                     help="imports per file (graph density; compute-bound supersteps)")
     ap.add_argument("--partitions", type=int, default=32,
                     help="fixed loop partition count at BOTH levels")
-    ap.add_argument("--repeats", type=int, default=2,
-                    help="alternating repeats per level; best-of taken "
-                    "(the sandbox host's CPU allocation fluctuates >3x "
-                    "between minutes — observed on identical runs — so a "
-                    "single-shot ratio measures the host, not the engine)")
+    ap.add_argument("--windows", type=int, default=3,
+                    help="paired host windows: each window runs the small "
+                    "and large level back-to-back and yields ONE "
+                    "efficiency ratio. The sandbox host's CPU allocation "
+                    "fluctuates >3x between minutes, so only ADJACENT "
+                    "same-window pairs are comparable; cross-window "
+                    "ratios measure the host, not the engine, and are "
+                    "never formed. Run order alternates per window to "
+                    "cancel order bias.")
+    ap.add_argument("--probe-tolerance", type=float, default=0.25,
+                    help="max relative disagreement between the CPU "
+                    "probes taken before each half of a window; a larger "
+                    "shift means the host's deliverable CPU changed "
+                    "mid-window and the window is recorded but REJECTED "
+                    "from the headline mean")
     args = ap.parse_args()
 
-    smalls, larges = [], []
-    for _ in range(args.repeats):
-        smalls.append(run(args.n, args.files, args.imports, args.partitions))
-        larges.append(run(args.n * 4, args.files, args.imports, args.partitions))
-    small = max(smalls, key=lambda r: r["edges_per_sec"])
-    large = max(larges, key=lambda r: r["edges_per_sec"])
-    eff = (large["edges_per_sec"] / small["edges_per_sec"]) / 4
+    import time as _time
+
+    windows = []
+    for w in range(args.windows):
+        small_first = w % 2 == 0
+        t_start = _time.time()
+        if small_first:
+            probe1 = cpu_probe()
+            small = run(args.n, args.files, args.imports, args.partitions)
+            probe2 = cpu_probe()
+            large = run(args.n * 4, args.files, args.imports, args.partitions)
+        else:
+            probe1 = cpu_probe()
+            large = run(args.n * 4, args.files, args.imports, args.partitions)
+            probe2 = cpu_probe()
+            small = run(args.n, args.files, args.imports, args.partitions)
+        probe_shift = abs(probe1 - probe2) / max(min(probe1, probe2), 1.0)
+        eff = (large["edges_per_sec"] / small["edges_per_sec"]) / 4
+        windows.append(
+            {
+                "window": w + 1,
+                "order": "small_first" if small_first else "large_first",
+                "window_wall_sec": round(_time.time() - t_start, 1),
+                "cpu_probe_before_first": round(probe1, 0),
+                "cpu_probe_before_second": round(probe2, 0),
+                "probe_shift": round(probe_shift, 4),
+                "accepted": probe_shift <= args.probe_tolerance,
+                "small": small,
+                "large": large,
+                "efficiency": round(eff, 4),
+            }
+        )
+        print(
+            json.dumps(
+                {
+                    "window": w + 1,
+                    "efficiency": round(eff, 4),
+                    "probe_shift": round(probe_shift, 4),
+                    "accepted": probe_shift <= args.probe_tolerance,
+                }
+            ),
+            flush=True,
+        )
+
+    accepted = [w for w in windows if w["accepted"]]
+    rejected = [w for w in windows if not w["accepted"]]
+    effs = [w["efficiency"] for w in (accepted or windows)]
+    mean_eff = sum(effs) / len(effs)
     report = {
         "files": args.files,
         "imports_per_file": args.imports,
         "loop_partitions": args.partitions,
-        "repeats": args.repeats,
-        "n_cores": small,
-        "four_n_cores": large,
-        "all_runs": {"n": smalls, "four_n": larges},
-        "scaling_efficiency": round(eff, 4),
+        "methodology": (
+            "local[N] vs local[4N] on identical deterministic corpus bytes "
+            "and identical loop partition count — the sandbox substitution "
+            "for the N vs 4N executor criterion. Each paired window runs "
+            "both levels back-to-back (alternating order) and contributes "
+            "exactly one efficiency ratio; the headline is the MEAN of "
+            "ACCEPTED paired-window ratios. Acceptance is programmatic: a "
+            "single-threaded CPU probe runs immediately before each half, "
+            "and a window whose probes disagree beyond --probe-tolerance "
+            "is recorded but rejected — the host's deliverable CPU changed "
+            "mid-window, so its ratio measures the host, not the engine. "
+            "Cross-window ratios are structurally impossible in this "
+            "report (the host swings >3x between minutes). If every "
+            "window is rejected, the mean falls back to all windows and "
+            "meets_target reflects that degraded evidence."
+        ),
+        "paired_window_runs": windows,
+        "accepted_windows": [w["window"] for w in accepted],
+        "rejected_windows": [w["window"] for w in rejected],
+        "per_window_efficiencies_accepted": effs,
+        "mean_paired_efficiency": round(mean_eff, 4),
         "target": 0.8,
-        "note": "best-of per level over alternating repeats; local[N] vs "
-        "local[4N] on identical deterministic input, per sandbox "
-        "substitution for the two-cluster criterion",
+        "meets_target": bool(accepted) and mean_eff >= 0.8,
+        "host_variance_evidence": {
+            "small_edges_per_sec_across_windows": [
+                w["small"]["edges_per_sec"] for w in windows
+            ],
+            "large_edges_per_sec_across_windows": [
+                w["large"]["edges_per_sec"] for w in windows
+            ],
+            "note": "spread across windows at a FIXED level is pure host "
+            "variance (identical code + input); compare it to the "
+            "within-window small→large ratio the efficiency uses",
+        },
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:

@@ -118,6 +118,34 @@ def test_pagerank_targeted_salting_matches_unsalted(spark):
             assert abs(other_ranks[k] - v) < 1e-12, (k, other_ranks[k], v)
 
 
+def test_adjacency_out_degree_cap_chunks_hubs(spark):
+    """A hub whose out-degree exceeds the cap is split across multiple
+    adjacency rows of bounded width; out_deg stays the TOTAL degree on
+    every chunk and PageRank over the chunked adjacency stays exact."""
+    from graph_engine_spark.graph.adjacency import build_adjacency
+
+    # hub h0 fans out to 500 leaves; cap 100 → ≥5 chunk rows
+    pairs = [("h0", f"l{i:03d}") for i in range(500)] + [
+        (f"l{i:03d}", "h0") for i in range(0, 500, 50)
+    ]
+    edges = edge_df(spark, pairs)
+    adj = build_adjacency(edges, num_partitions=4, persist=False, max_out_degree=100)
+    rows = adj.filter(F.col("src") == "h0").collect()
+    assert len(rows) >= 5
+    assert all(r["out_deg"] == 500 for r in rows)
+    assert all(len(r["dsts"]) <= 200 for r in rows)  # hash-balanced chunks
+    assert sum(len(r["dsts"]) for r in rows) == 500
+    # non-hub vertices stay single-row
+    assert adj.filter(F.col("src") == "l000").count() == 1
+
+    # end-to-end: PageRank over the CHUNKED adjacency stays exact
+    res = pagerank(edges, tol=1e-9, max_iter=15, num_partitions=4, max_out_degree=100)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    oracle = nx_pagerank(pairs)
+    for k, v in got.items():
+        assert abs(v - oracle[k]) < 1e-6
+
+
 def test_pagerank_checkpoint_resume(spark, tmp_path):
     from graph_engine_spark.graph.checkpoint import CheckpointManager
 

@@ -193,3 +193,20 @@ def test_function_call_graph(spark, small_graph):
     # external callees (dotted module attributes) kept only on request
     ext = function_call_graph(edges, nodes, keep_external=True)
     assert ext.count() >= g.count()
+
+
+def test_js_params_destructuring_and_defaults():
+    """Destructured / nested-default JS params never yield garbage
+    tokens like '{a' — only identifier-shaped names survive."""
+    from graph_engine_spark.extractor.pyext import _js_params
+
+    assert _js_params("a, b") == ["a", "b"]
+    assert _js_params("a, b = 5") == ["a", "b"]
+    assert _js_params("{a, b}, c") == ["c"]
+    assert _js_params("[x, y], z = 3") == ["z"]
+    assert _js_params("a, ...rest") == ["a", "...rest"]
+    # nested default call truncated by the function regex at the inner
+    # ')' — the param name still recovers cleanly, the destructured
+    # group and the mangled default contribute nothing
+    assert _js_params("{a, b}, c = g(1") == ["c"]
+    assert _js_params("") == []

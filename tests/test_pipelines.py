@@ -113,6 +113,59 @@ def test_minhash_lsh_xxhash64_production_mode(spark):
     assert sig[1] != sig[3]
 
 
+def test_simhash_near_dups_banded_join(spark):
+    """Pigeonhole-banded Hamming search (Manku'07): identical and
+    near-identical docs pair within the budget, unrelated docs don't."""
+    from graph_engine_spark.pipelines.dedup import simhash_near_dups
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    rows = [
+        (1, base),
+        (2, base),                      # identical → hamming 0
+        (3, base + " extra"),           # one extra token → tiny hamming
+        (4, "completely different text about spark shuffle partitions and joins"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["key_a"], r["key_b"]): r["hamming"]
+        for r in simhash_near_dups(df, bits=32, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+    if (1, 3) in pairs:  # near-identical: allowed but not guaranteed ≤3
+        assert pairs[(1, 3)] <= 3
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Schleimer'03 guarantee: any shared substring of length ≥
+    k + window − 1 yields at least one shared fingerprint; disjoint
+    texts share none."""
+    from graph_engine_spark.pipelines.dedup import winnowing_fingerprints
+
+    shared = "this exact passage is copied verbatim between the two documents"
+    rows = [
+        (1, "unique preamble one. " + shared + " unique tail one."),
+        (2, "other beginning text! " + shared + " different ending."),
+        (3, "zq xv jk wp entirely disjoint vocabulary mn bt lr dh gf"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnowing_fingerprints(df, k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["key"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]          # shared passage detected
+    assert not (by_doc[1] & by_doc[3])    # disjoint text shares nothing
+    assert not (by_doc[2] & by_doc[3])
+    # deterministic: rerun produces identical fingerprint sets
+    again = {}
+    for r in winnowing_fingerprints(df, k=8, window=4).collect():
+        again.setdefault(r["key"], set()).add(r["fingerprint"])
+    assert again == by_doc
+
+
 def test_simhash_near_dup_hamming(spark):
     from graph_engine_spark.pipelines.dedup import simhash_table
 
