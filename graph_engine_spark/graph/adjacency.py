@@ -116,22 +116,35 @@ def build_adjacency(
     out over the chunk rows (explode semantics are unchanged).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # cheap pre-check: a count-only aggregation (map-side combined, no
+    # arrays) finds the max out-degree. Only when a hub actually
+    # exceeds the cap do we pay the edge⋈degree join that assigns chunk
+    # ids — the common no-hub case keeps the single-aggregation build.
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    n_chunks = F.ceil(F.col("out_deg") / F.lit(max_out_degree)).cast("int")
-    adj = (
-        e.join(deg, "src")
-        .withColumn(
-            "_chunk",
-            F.when(
-                F.col("out_deg") > max_out_degree,
-                F.pmod(F.xxhash64("dst"), n_chunks),
-            ).otherwise(F.lit(0).cast("bigint")),
+    max_deg = deg.agg(F.max("out_deg")).first()[0] or 0
+    if max_deg <= max_out_degree:
+        adj = (
+            e.groupBy("src")
+            .agg(F.collect_list("dst").alias("dsts"))
+            .withColumn("out_deg", F.size("dsts"))
+            .repartition(num_partitions, "src")
         )
-        .groupBy("src", "_chunk")
-        .agg(F.collect_list("dst").alias("dsts"), F.min("out_deg").alias("out_deg"))
-        .drop("_chunk")
-        .repartition(num_partitions, "src")
-    )
+    else:
+        n_chunks = F.ceil(F.col("out_deg") / F.lit(max_out_degree)).cast("int")
+        adj = (
+            e.join(deg, "src")
+            .withColumn(
+                "_chunk",
+                F.when(
+                    F.col("out_deg") > max_out_degree,
+                    F.pmod(F.xxhash64("dst"), n_chunks),
+                ).otherwise(F.lit(0).cast("bigint")),
+            )
+            .groupBy("src", "_chunk")
+            .agg(F.collect_list("dst").alias("dsts"), F.min("out_deg").alias("out_deg"))
+            .drop("_chunk")
+            .repartition(num_partitions, "src")
+        )
     if persist:
         adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
     return adj

@@ -85,6 +85,7 @@ def connected_components(
     method: str = "two_phase",
     num_partitions: int | None = None,
     resume: bool = False,
+    encode_ids: bool = True,
 ) -> ComponentsResult:
     """(id, component) with component = min vertex id in the component.
 
@@ -92,10 +93,31 @@ def connected_components(
     every k rounds it is written with a per-partition lineage manifest,
     and resume=True restarts from the newest complete checkpoint
     (same contract as pagerank).
+
+    encode_ids: run the star iterations over xxhash64-coded integer
+    vertex ids (string keys dominate the per-round shuffle bytes at
+    scale — same rationale as pagerank). The alternating-star algorithm
+    only needs SOME total order on ids, so hashing preserves
+    convergence and the component PARTITION exactly; the contract label
+    (minimum ORIGINAL id per component) is recovered afterwards with
+    one decode join + one min aggregation. Deterministic coding keeps
+    checkpoints resumable.
     """
     from graph_engine_spark.graph.adjacency import partitions_for_count
+    from graph_engine_spark.graph.adjacency import vertices as _vertices
 
     spark = edges.sparkSession
+
+    id_map = None
+    if encode_ids:
+        id_map = (
+            _vertices(edges, src, dst)
+            .select("id", F.xxhash64("id").alias("vid"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        edges = edges.select(
+            F.xxhash64(src).alias(src), F.xxhash64(dst).alias(dst)
+        )
 
     # Resolve the initial loop state FIRST and size the loop from ITS
     # count — the loop needs both the persisted edge set and its count
@@ -116,15 +138,29 @@ def connected_components(
         )
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     e_count = e.count()
+    if id_map is not None:
+        id_map.count()  # materialize while the source lineage is warm
     if num_partitions is None:
         num_partitions = partitions_for_count(e_count, spark)
     loop_conf = _IterLoopConf(spark, num_partitions)
     try:
-        return _connected_components(
+        res = _connected_components(
             edges, e, e_count, it0, src, dst, max_iter, checkpoint, method
         )
     finally:
         loop_conf.restore()
+    if id_map is not None:
+        # decode vids → original ids, then restore the contract label
+        # (min ORIGINAL id per component): one join + one min-agg +
+        # one join — rows never wider than a label row
+        comp = res.components
+        dec = comp.join(id_map, comp.id == id_map.vid).select(
+            id_map.id.alias("oid"), comp.component.alias("cvid")
+        )
+        mins = dec.groupBy("cvid").agg(F.min("oid").alias("component"))
+        out = dec.join(mins, "cvid").select(F.col("oid").alias("id"), "component")
+        res = ComponentsResult(out, res.iterations, res.converged)
+    return res
 
 
 def _connected_components(

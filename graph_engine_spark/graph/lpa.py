@@ -13,6 +13,14 @@ edge list), one count aggregation on (id, label), one ranking window
 partitioned by id for the argmax (SURVEY.md §2.5 — the same
 row_number-over-(count desc, label asc) pattern the reference's greedy
 rename resolution maps to), one join to detect changes.
+
+Deliberately NOT integer-coded (unlike pagerank/cc/triangles): the
+deterministic tie-break is "minimum LABEL", and labels are vertex ids —
+hashing is not order-preserving, so coded ties would resolve to
+different winners and propagate different (though equally valid-looking)
+labels than the specified semantics. An order-preserving dense-rank
+dictionary would permit coding at the cost of a one-time global sort;
+revisit if LPA ever dominates a profile.
 """
 
 from __future__ import annotations

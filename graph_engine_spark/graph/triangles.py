@@ -33,14 +33,34 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     num_partitions: int | None = None,
+    encode_ids: bool = True,
 ) -> TriangleResult:
     """Exact triangle count. num_partitions pins the shuffle width for
     the wedge join; auto-sized finer than the iterative loops because
     wedge volume is superlinear in edges (measured on a 60k-edge hub
-    graph at local[32]: 64 shuffle partitions → 55 s, 16 → 7 s)."""
+    graph at local[32]: 64 shuffle partitions → 55 s, 16 → 7 s).
+
+    encode_ids: the wedge/closing joins run over xxhash64-coded integer
+    ids (the wedge join shuffles superlinear row volume — integer keys
+    cut its bytes several-fold). Degree-ordered orientation only needs
+    SOME total order for its tie-break, so any injective coding leaves
+    the triangle set — and therefore total and per-vertex counts —
+    unchanged; per-vertex output decodes back to original ids."""
     from graph_engine_spark.graph.adjacency import partitions_for_count
 
     spark = edges.sparkSession
+
+    id_map = None
+    if encode_ids:
+        from graph_engine_spark.graph.adjacency import vertices as _vertices
+        from pyspark.storagelevel import StorageLevel as _SL
+
+        id_map = (
+            _vertices(edges, src, dst)
+            .select("id", F.xxhash64("id").alias("vid"))
+            .persist(_SL.MEMORY_AND_DISK)
+        )
+        edges = edges.select(F.xxhash64(src).alias(src), F.xxhash64(dst).alias(dst))
     # canonicalize once, persist, and size the wedge-join width from the
     # persisted table's count — no second pass over the caller's lineage
     und = (
@@ -56,12 +76,21 @@ def triangle_count(
         num_partitions = partitions_for_count(
             und.count(), spark, edges_per_partition=4_000
         )
+    if id_map is not None:
+        id_map.count()  # materialize before und's source may unpersist
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
     try:
-        return _triangle_count(und)
+        res = _triangle_count(und)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+    if id_map is not None:
+        pv = res.per_vertex
+        res = TriangleResult(
+            res.total,
+            pv.join(id_map, pv.id == id_map.vid).select(id_map.id, pv.triangles),
+        )
+    return res
 
 
 def _triangle_count(und: DataFrame) -> TriangleResult:

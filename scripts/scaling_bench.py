@@ -25,40 +25,61 @@ import os
 import subprocess
 import sys
 
-CHILD = r"""
-import json, os, sys, time
+# One-time extraction child: synthesize the deterministic corpus,
+# extract the code-dependency edge table, write it as Parquet. MEASURE
+# children then read identical bytes, so a window pays only the job
+# under test (PageRank over the extracted edge table) — windows are
+# tight enough that the host-comparability probes actually bracket the
+# work they guard, and the graph can be dense enough for supersteps to
+# stay compute-bound on a fast host.
+SETUP = r"""
+import json, os, sys
 sys.path.insert(0, os.environ["REPO_DIR"])
-cores = int(sys.argv[1]); n_files = int(sys.argv[2])
-imports = int(sys.argv[3]); partitions = int(sys.argv[4])
+n_files = int(sys.argv[1]); imports = int(sys.argv[2]); out_dir = sys.argv[3]
 from graph_engine_spark.session import get_spark
 from graph_engine_spark.corpus import synthesize_corpus
 from graph_engine_spark.extractor import extract_graph
 from graph_engine_spark.graph.linkgraph import module_link_graph
-from graph_engine_spark.graph.pagerank import pagerank
+spark = get_spark(app_name="scaling-setup", cores=32)
+spark.sparkContext.setLogLevel("ERROR")
+corpus = synthesize_corpus(
+    spark, n_files=n_files, n_components=5, hubs_per_component=4,
+    partitions=64, imports_per_file=imports,
+)
+_, edges = extract_graph(corpus)
+module_link_graph(edges).repartition(64).write.mode("overwrite").parquet(out_dir)
+print(json.dumps({"edges_written": spark.read.parquet(out_dir).count()}))
+"""
 
+MEASURE = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO_DIR"])
+cores = int(sys.argv[1]); partitions = int(sys.argv[2]); edges_dir = sys.argv[3]
+from graph_engine_spark.session import get_spark
+from graph_engine_spark.graph.pagerank import pagerank
 spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
 spark.sparkContext.setLogLevel("ERROR")
 # identical input bytes and identical partition count at both
 # parallelism levels: only the number of concurrently executing tasks
 # changes, the sandbox analogue of N vs 4N executors over one dataset.
-corpus = synthesize_corpus(
-    spark, n_files=n_files, n_components=5, hubs_per_component=4,
-    partitions=64, imports_per_file=imports,
-)
-t0 = time.time()
-_, edges = extract_graph(corpus)
-mg = module_link_graph(edges).persist()
+mg = spark.read.parquet(edges_dir).persist()
 n_edges = mg.count()
-t_setup = time.time() - t0
 t0 = time.time()
 res = pagerank(mg, tol=1e-6, max_iter=200, num_partitions=partitions)
-t_pr = time.time() - t0
+t_wall = time.time() - t0
+# the north metric is SUPERSTEPS/sec and edges-processed/sec: the
+# per-superstep timer inside pagerank measures exactly the iterative
+# work; one-time graph setup (adjacency build + dictionaries) is
+# reported separately as setup_sec
+t_steps = sum(res.superstep_seconds)
 print(json.dumps({
-    "cores": cores, "files": n_files, "link_edges": n_edges,
-    "setup_sec": round(t_setup, 2), "pagerank_sec": round(t_pr, 2),
+    "cores": cores, "link_edges": n_edges,
+    "pagerank_wall_sec": round(t_wall, 2),
+    "superstep_sec_total": round(t_steps, 2),
+    "setup_sec": round(t_wall - t_steps, 2),
     "supersteps": res.iterations, "converged": res.converged,
-    "supersteps_per_sec": round(res.iterations / t_pr, 4),
-    "edges_per_sec": round(n_edges * res.iterations / t_pr, 1),
+    "supersteps_per_sec": round(res.iterations / t_steps, 4),
+    "edges_per_sec": round(n_edges * res.iterations / t_steps, 1),
 }))
 """
 
@@ -84,10 +105,10 @@ def cpu_probe(seconds: float = 3.0) -> float:
     return n / (_t.time() - t0)
 
 
-def run(cores: int, files: int, args_imports: int, args_partitions: int) -> dict:
+def _child(code: str, argv: list[str]) -> dict:
     env = dict(os.environ, REPO_DIR=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cores), str(files), str(args_imports), str(args_partitions)],
+        [sys.executable, "-c", code, *argv],
         capture_output=True,
         text=True,
         env=env,
@@ -95,8 +116,12 @@ def run(cores: int, files: int, args_imports: int, args_partitions: int) -> dict
     )
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if not lines:
-        raise RuntimeError(f"child failed (cores={cores}):\n{out.stderr[-3000:]}")
+        raise RuntimeError(f"child failed ({argv}):\n{out.stderr[-3000:]}")
     return json.loads(lines[-1])
+
+
+def run(cores: int, partitions: int, edges_dir: str) -> dict:
+    return _child(MEASURE, [str(cores), str(partitions), edges_dir])
 
 
 def main() -> None:
@@ -122,33 +147,63 @@ def main() -> None:
                     "shift means the host's deliverable CPU changed "
                     "mid-window and the window is recorded but REJECTED "
                     "from the headline mean")
+    ap.add_argument("--edges-dir", default="/tmp/scaling_edges.parquet",
+                    help="where the one-time extracted edge table lands")
+    ap.add_argument("--skip-setup", action="store_true",
+                    help="reuse an existing --edges-dir")
+    ap.add_argument("--min-accepted", type=int, default=0,
+                    help="keep running windows (up to --max-windows) until "
+                    "this many pass the probe gate — lets the run outlast "
+                    "noisy-host periods and catch quiet ones")
+    ap.add_argument("--max-windows", type=int, default=0,
+                    help="hard cap when --min-accepted is set")
+    ap.add_argument("--cooldown", type=float, default=0.0,
+                    help="seconds to sleep between windows in "
+                    "--min-accepted mode")
     args = ap.parse_args()
 
     import time as _time
 
+    if not args.skip_setup:
+        t0 = _time.time()
+        setup = _child(SETUP, [str(args.files), str(args.imports), args.edges_dir])
+        print(json.dumps({"setup": setup, "setup_sec": round(_time.time() - t0, 1)}),
+              flush=True)
+
     windows = []
-    for w in range(args.windows):
+    w = -1
+    while True:
+        w += 1
+        if args.min_accepted > 0:
+            n_acc = sum(1 for x in windows if x["accepted"])
+            if n_acc >= args.min_accepted or w >= max(args.max_windows, 1):
+                break
+            if w > 0 and args.cooldown:
+                _time.sleep(args.cooldown)
+        elif w >= args.windows:
+            break
         small_first = w % 2 == 0
         t_start = _time.time()
         if small_first:
             probe1 = cpu_probe()
-            small = run(args.n, args.files, args.imports, args.partitions)
+            small = run(args.n, args.partitions, args.edges_dir)
             probe2 = cpu_probe()
-            large = run(args.n * 4, args.files, args.imports, args.partitions)
+            large = run(args.n * 4, args.partitions, args.edges_dir)
         else:
             probe1 = cpu_probe()
-            large = run(args.n * 4, args.files, args.imports, args.partitions)
+            large = run(args.n * 4, args.partitions, args.edges_dir)
             probe2 = cpu_probe()
-            small = run(args.n, args.files, args.imports, args.partitions)
-        probe_shift = abs(probe1 - probe2) / max(min(probe1, probe2), 1.0)
+            small = run(args.n, args.partitions, args.edges_dir)
+        probe3 = cpu_probe()  # brackets the second half too
+        probes = [probe1, probe2, probe3]
+        probe_shift = (max(probes) - min(probes)) / max(min(probes), 1.0)
         eff = (large["edges_per_sec"] / small["edges_per_sec"]) / 4
         windows.append(
             {
                 "window": w + 1,
                 "order": "small_first" if small_first else "large_first",
                 "window_wall_sec": round(_time.time() - t_start, 1),
-                "cpu_probe_before_first": round(probe1, 0),
-                "cpu_probe_before_second": round(probe2, 0),
+                "cpu_probes": [round(p, 0) for p in probes],
                 "probe_shift": round(probe_shift, 4),
                 "accepted": probe_shift <= args.probe_tolerance,
                 "small": small,
