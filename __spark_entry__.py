@@ -41,7 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
     corpus = synthesize_corpus(spark, n_files=300, n_components=5, hubs_per_component=4)
     _, edges = extract_graph(corpus)
-    module_graph = module_link_graph(edges).persist()
+    # no persist here: pagerank persists an unpersisted edge input for
+    # the duration of its build and unpersists it on exit (round-2
+    # session-lifetime cache leak fix)
+    module_graph = module_link_graph(edges)
     result = pagerank(module_graph, tol=1e-6, max_iter=60)
     return (
         result.ranks.orderBy(F.desc("rank"), F.asc("id"))
@@ -122,6 +125,32 @@ def _q_edges_for_node_union(spark, sf_dir):
         F.col("n_nationkey").alias("a"), F.col("n_regionkey").alias("b")
     )
     return out_e.unionByName(in_e).dropDuplicates(["a", "b"]).select("a", "b")
+
+
+def _q_edges_for_nodes(spark, sf_dir):
+    """Edge adjacency lookup for a NODE SET via the actual surface
+    function (queries/surface.py:79, reference in_memory.py:191-209):
+    ids hit the src side (high-balance customers) and the dst side
+    (round-number orders) of a real edge table; the union of the two
+    broadcast semi-joins is deduped on the logical edge key."""
+    from graph_engine_spark.queries.surface import edges_for_nodes
+
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    edges = o.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        F.col("o_orderkey").cast("long").alias("dst"),
+        F.lit("placed").alias("edge_type"),
+    )
+    ids = (
+        c.filter(F.col("c_acctbal") > 9900)
+        .select(F.col("c_custkey").cast("long").alias("id"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 0)
+            .select(F.col("o_orderkey").cast("long").alias("id"))
+        )
+    )
+    return edges_for_nodes(edges, ids).select("src", "dst", "edge_type")
 
 
 def _q_degree(spark, sf_dir):
@@ -607,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hop_in": _q_one_hop_in,
         "two_hop": _q_two_hop,
         "edges_union_dedup": _q_edges_for_node_union,
+        "edges_for_nodes": _q_edges_for_nodes,
         "degree": _q_degree,
         "topk_degree": _q_topk_degree,
         "type_inventory": _q_type_inventory,
@@ -1242,6 +1272,22 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT n_nationkey AS a, n_regionkey AS b FROM nation WHERE n_nationkey % 5 = 2
             )
+        """,
+        "edges_for_nodes": """
+            WITH edges AS (
+              SELECT CAST(o_custkey AS BIGINT) AS src,
+                     CAST(o_orderkey AS BIGINT) AS dst,
+                     'placed' AS edge_type
+              FROM orders
+            ), ids AS (
+              SELECT CAST(c_custkey AS BIGINT) AS id
+              FROM customer WHERE c_acctbal > 9900
+              UNION ALL
+              SELECT CAST(o_orderkey AS BIGINT) AS id
+              FROM orders WHERE o_orderkey % 1000 = 0
+            )
+            SELECT DISTINCT src, dst, edge_type FROM edges
+            WHERE src IN (SELECT id FROM ids) OR dst IN (SELECT id FROM ids)
         """,
         "degree": """
             SELECT o_custkey AS id, COUNT(*) AS out_deg, MAX(o_totalprice) AS max_price

@@ -35,13 +35,15 @@ from graph_engine_spark.schemas import IR_SCHEMA
 _IR_COLS = [f.name for f in IR_SCHEMA.fields]
 
 
-def _extract_batches_impl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches_impl(
+    batches: Iterator[pd.DataFrame], parser: str = "fallback"
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows: list[tuple] = []
         for repo, path, lang, content, chash in zip(
             pdf["repo"], pdf["path"], pdf["lang"], pdf["content"], pdf["content_hash"]
         ):
-            nodes, edges = extract_file(path, lang, content)
+            nodes, edges = extract_file(path, lang, content, parser=parser)
             for nid, ntype, name, start, end, params in nodes:
                 rows.append(
                     (
@@ -68,12 +70,20 @@ def _extract_batches_impl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         yield pd.DataFrame(rows, columns=_IR_COLS)
 
 
-def extract_ir(corpus: DataFrame) -> DataFrame:
-    """corpus(repo, path, commit, lang, content) → IR rows (one pass)."""
+def extract_ir(corpus: DataFrame, parser: str = "fallback") -> DataFrame:
+    """corpus(repo, path, commit, lang, content) → IR rows (one pass).
+
+    parser="treesitter" opts into real grammars where the executors
+    have them (per-executor cached parsers, auto-fallback otherwise —
+    see pyext.extract_file)."""
     gated = corpus.filter(F.col("lang").isin(*SUPPORTED_LANGS))
     hashed = gated.withColumn("content_hash", F.sha2(F.col("content").cast("binary"), 256))
     ir_input = hashed.select("repo", "path", "lang", "content", "content_hash")
-    return ir_input.mapInPandas(_extract_batches_impl, schema=IR_SCHEMA)
+
+    def impl(batches):
+        return _extract_batches_impl(batches, parser=parser)
+
+    return ir_input.mapInPandas(impl, schema=IR_SCHEMA)
 
 
 def dedupe_nodes(ir: DataFrame) -> DataFrame:
@@ -142,10 +152,10 @@ def merge_nodes(nodes: DataFrame) -> DataFrame:
     )
 
 
-def extract_graph(corpus: DataFrame, persist_ir: bool = True):
+def extract_graph(corpus: DataFrame, persist_ir: bool = True, parser: str = "fallback"):
     """Full extraction: corpus → (nodes, edges). Persists the IR so the
     two output aggregations share one extraction pass."""
-    ir = extract_ir(corpus)
+    ir = extract_ir(corpus, parser=parser)
     if persist_ir:
         ir = ir.persist()
     return dedupe_nodes(ir), dedupe_edges(ir)

@@ -187,8 +187,69 @@ def _js_params(raw: str) -> list:
     return out
 
 
+#: call-site shape: a (possibly dotted) identifier followed by '(' —
+#: the raw callee text, matching the reference tree-sitter processor's
+#: use of the call_expression function text (tree_sitter_parser.py:549)
+_JS_CALL = re.compile(
+    r"([a-zA-Z_$][a-zA-Z0-9_$]*(?:\.[a-zA-Z_$][a-zA-Z0-9_$]*)*)\s*\("
+)
+
+_JS_KEYWORDS = frozenset(
+    "break case catch class const continue debugger default delete do else "
+    "export extends finally for function if import in instanceof new return "
+    "super switch this throw try typeof var void while with yield let "
+    "static async await of".split()
+)
+
+
+def _match_paren(content: str, open_pos: int, cap: int = 400) -> int:
+    """Index of the ')' matching content[open_pos] == '(', scanning at
+    most ``cap`` chars (bounds worst-case cost per call site on
+    pathological minified lines); -1 when unmatched within the cap."""
+    depth = 0
+    for i in range(open_pos, min(len(content), open_pos + cap)):
+        c = content[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _brace_span(content: str, search_from: int, max_gap: int = 200) -> int:
+    """End index of the brace-balanced block whose '{' opens within
+    ``max_gap`` chars of ``search_from`` (tolerates TS return-type
+    annotations between the param list and the body); -1 when the
+    definition is expression-bodied (no block)."""
+    brace = content.find("{", search_from)
+    if brace == -1 or brace - search_from > max_gap:
+        return -1
+    depth = 0
+    for i in range(brace, len(content)):
+        c = content[i]
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return i
+    return len(content) - 1
+
+
 def extract_js(path: str, content: str):
-    """Extract (nodes, edges) from JS/TS source via regex patterns."""
+    """Extract (nodes, edges) from JS/TS source via regex patterns.
+
+    Call edges (reference tree_sitter_parser.py:549-567,645-737): every
+    non-keyword ``name(`` site emits a call node, and — when it falls
+    inside the brace-matched body of a function/arrow/shorthand-method
+    definition — a ``function:<caller> -calls-> function:<callee>``
+    edge from the INNERMOST enclosing definition. ``name(args) {``
+    headers that are not calls (shorthand methods / object-literal
+    methods) are registered as function definitions instead, so calls
+    inside class methods get a caller scope too.
+    """
     basename = posixpath.basename(path)
     nodes: dict = {}
     edges: set = set()
@@ -200,12 +261,22 @@ def extract_js(path: str, content: str):
     def line_of(pos: int) -> int:
         return content.count("\n", 0, pos) + 1
 
+    # (start, end, function_id) body spans — innermost-match caller
+    # attribution for call sites
+    spans: list = []
+
     for rx in (_JS_FUNC, _JS_ARROW):
         for m in rx.finditer(content):
             fid = f"function:{m.group(1)}"
             _node(nodes, fid, "function", m.group(1), line_of(m.start()),
                   line_of(m.start()) + 1, _js_params(m.group(2)))
             _edge(edges, module_id, fid, "contains")
+            end = _brace_span(content, m.end())
+            if end == -1:
+                # expression-bodied arrow: scope runs to end of line
+                end = content.find("\n", m.end())
+                end = len(content) - 1 if end == -1 else end
+            spans.append((m.start(), end, fid))
     for m in _JS_CLASS.finditer(content):
         cid = f"class:{m.group(1)}"
         _node(nodes, cid, "class", m.group(1), line_of(m.start()), line_of(m.start()) + 1)
@@ -220,6 +291,54 @@ def extract_js(path: str, content: str):
             _node(nodes, iid, "import", mod, ln, ln)
             _node(nodes, file_id, "file", basename, 1, n_lines)
             _edge(edges, file_id, iid, "imports")
+
+    # classify every `ident(` site: definition header vs call site
+    call_sites: list = []
+    for m in _JS_CALL.finditer(content):
+        name = m.group(1)
+        head = name.split(".", 1)[0]
+        if name in _JS_KEYWORDS:
+            continue
+        if m.start() > 0 and content[m.start() - 1] == ".":
+            # chained-call tail `String(k).trim(` — the callee isn't a
+            # resolvable name root (the Python ast path drops these too:
+            # _attr_text returns None when the base isn't a Name)
+            continue
+        before = content[max(0, m.start() - 20):m.start()]
+        if re.search(r"(?:function|new)\s+$", before):
+            # `function name(` is the definition already captured above;
+            # `new Foo(` is a new_expression, not a call_expression
+            continue
+        close = _match_paren(content, m.end() - 1)
+        after = content[close + 1:close + 40].lstrip() if close != -1 else ""
+        if close != -1 and after.startswith("{") and "." not in name and head not in _JS_KEYWORDS:
+            # `name(args) { …` with no dot and no keyword head: a
+            # shorthand/object-literal METHOD definition, not a call —
+            # register it as a function scope (reference method_definition)
+            fid = f"function:{name}"
+            params_raw = content[m.end():close]
+            _node(nodes, fid, "function", name, line_of(m.start()),
+                  line_of(m.start()) + 1, _js_params(params_raw))
+            _edge(edges, module_id, fid, "contains")
+            end = _brace_span(content, close + 1)
+            spans.append((m.start(), end if end != -1 else close, fid))
+            continue
+        if head in _JS_KEYWORDS:
+            continue
+        call_sites.append((m.start(1), name))
+
+    spans.sort()
+    for pos, name in call_sites:
+        ln = line_of(pos)
+        col = pos - (content.rfind("\n", 0, pos) + 1)
+        _node(nodes, _call_id(path, ln, col, name), "call", name, ln, ln)
+        caller = None
+        for start, end, fid in spans:  # sorted by start → last hit is innermost
+            if start <= pos <= end:
+                caller = fid
+        if caller is not None:
+            # recursion self-loops included — same as the Python path
+            _edge(edges, caller, f"function:{name}", "calls")
     return list(nodes.values()), sorted(edges)
 
 
@@ -232,8 +351,22 @@ _EXTRACTORS = {
 SUPPORTED_LANGS = tuple(_EXTRACTORS)
 
 
-def extract_file(path: str, lang: str, content: str):
-    """Route by language (reference graph_core/analyzer/__init__.py:40-45)."""
+def extract_file(path: str, lang: str, content: str, parser: str = "fallback"):
+    """Route by language (reference graph_core/analyzer/__init__.py:40-45).
+
+    parser="treesitter": use a real grammar when one is importable in
+    this process (reference tree_sitter_parser.py:94-132 cached-parser
+    path), degrading to the ast/regex extractors when it is not — the
+    reference's own MinimalParser degradation. The default stays the
+    deterministic fallback so goldens never depend on which wheels an
+    executor image happens to carry.
+    """
+    if parser == "treesitter":
+        from graph_engine_spark.extractor.tsext import extract_treesitter
+
+        out = extract_treesitter(path, lang, content)
+        if out is not None:
+            return out
     fn = _EXTRACTORS.get(lang)
     if fn is None:
         return [], []

@@ -103,7 +103,7 @@ def build_adjacency(
     src: str = "src",
     dst: str = "dst",
     persist: bool = True,
-    max_out_degree: int = MAX_OUT_DEGREE_PER_ROW,
+    max_out_degree: int | None = MAX_OUT_DEGREE_PER_ROW,
 ) -> DataFrame:
     """CSR-style adjacency: (src, dsts array, out_deg), hash-partitioned
     on src and persisted (memory-and-disk: spill-safe at scale).
@@ -114,15 +114,22 @@ def build_adjacency(
     ``out_deg`` remains the vertex's TOTAL out-degree on every chunk —
     consumers divide rank mass by it, and equi-joins on src simply fan
     out over the chunk rows (explode semantics are unchanged).
+
+    ``max_out_degree=None`` opts out of the cap AND the degree probe
+    job entirely — for callers that know their domain bounds out-degree
+    (or pass unpersisted edges whose lineage a probe would replay).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # cheap pre-check: a count-only aggregation (map-side combined, no
-    # arrays) finds the max out-degree. Only when a hub actually
-    # exceeds the cap do we pay the edge⋈degree join that assigns chunk
-    # ids — the common no-hub case keeps the single-aggregation build.
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    max_deg = deg.agg(F.max("out_deg")).first()[0] or 0
-    if max_deg <= max_out_degree:
+    if max_out_degree is None:
+        max_deg = 0  # caller opted out: single-agg build, no probe job
+    else:
+        # cheap pre-check: a count-only aggregation (map-side combined,
+        # no arrays) finds the max out-degree. Only when a hub actually
+        # exceeds the cap do we pay the edge⋈degree join that assigns
+        # chunk ids — the common no-hub case keeps the single-agg build.
+        deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+        max_deg = deg.agg(F.max("out_deg")).first()[0] or 0
+    if max_out_degree is None or max_deg <= max_out_degree:
         adj = (
             e.groupBy("src")
             .agg(F.collect_list("dst").alias("dsts"))

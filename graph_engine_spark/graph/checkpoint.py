@@ -87,9 +87,18 @@ class CheckpointManager:
                 out.append(int(name.split("_")[1]))
         return sorted(out)
 
-    def resume(self, spark: SparkSession):
+    def resume(self, spark: SparkSession, expected_id_type: str | None = None):
         """(iteration, state_df, metrics) of the newest complete
-        checkpoint, or None."""
+        checkpoint, or None.
+
+        expected_id_type: simpleString of the FIRST state column's type
+        the resuming run requires (its vertex-id coding: "bigint" when
+        ids are xxhash64-encoded, "string" when raw). A checkpoint
+        written under a different coding would silently join against
+        nothing downstream (decode joins comp.id vs xxhash64 vids) —
+        fail fast here instead. Validated from the manifest's recorded
+        schema, so checkpoints written before this guard existed are
+        still checkable."""
         its = self.iterations()
         if not its:
             return None
@@ -97,5 +106,22 @@ class CheckpointManager:
         path = self._iter_dir(it)
         with open(os.path.join(path, MANIFEST)) as f:
             manifest = json.load(f)
+        if expected_id_type is not None:
+            fields = manifest.get("schema", {}).get("fields", [])
+            saved_type = fields[0].get("type") if fields else None
+            if isinstance(saved_type, str):  # primitive types only
+                # Parquet re-read schema is the source of truth; "long"
+                # and "bigint" are the same simpleString family
+                norm = {"long": "bigint", "integer": "int"}
+                if norm.get(saved_type, saved_type) != norm.get(
+                    expected_id_type, expected_id_type
+                ):
+                    raise ValueError(
+                        f"checkpoint {path} was written with id column type "
+                        f"'{saved_type}' but this run expects "
+                        f"'{expected_id_type}' (different vertex-id coding); "
+                        "delete the checkpoint dir or rerun with the "
+                        "matching encode_ids setting"
+                    )
         df = spark.read.parquet(os.path.join(path, "data"))
         return it, df, manifest["metrics"]

@@ -126,7 +126,9 @@ def connected_components(
     it0 = 0
     e = None
     if resume and checkpoint is not None:
-        state = checkpoint.resume(spark)
+        state = checkpoint.resume(
+            spark, expected_id_type="bigint" if encode_ids else "string"
+        )
         if state is not None:
             it0, e, _ = state
             e = e.select(F.col(e.columns[0]).alias("u"), F.col(e.columns[1]).alias("v"))

@@ -130,17 +130,20 @@ def pagerank(
     """
     spark = edges.sparkSession
     owned_edges = None
+    # The graph build makes several passes over the edge table (vertex
+    # dictionary, adjacency degree probe + agg, dangling flags) — and
+    # the sizing branch adds a count. Persist for the build regardless
+    # of whether the caller sized the loop explicitly, so upstream
+    # lineage (extract pipelines are expensive) is replayed at most
+    # once, not once per pass.
+    if edges.storageLevel == StorageLevel.NONE:
+        owned_edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges = owned_edges
     if num_partitions is None:
         # size the loop to the graph, not the session default: on small
         # graphs per-task scheduling dominates (measured 11 s → 0.5 s per
         # superstep on a 60k-edge graph); at cluster scale callers pass
-        # an explicit count matched to executor cores. The sizing count
-        # persists the edge table first so the adjacency/vertex builds
-        # below replay the cache instead of recomputing the caller's
-        # upstream lineage (extract pipelines are expensive).
-        if edges.storageLevel == StorageLevel.NONE:
-            owned_edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-            edges = owned_edges
+        # an explicit count matched to executor cores.
         num_partitions = auto_partitions(edges)
     loop_conf = _IterLoopConf(spark, num_partitions)
 
@@ -218,7 +221,9 @@ def pagerank(
     ranks = verts.select("id", "dangling", F.lit(1.0 / n).alias("rank"))
     dangling_mass = n_dangling / n
     if resume and checkpoint is not None:
-        state = checkpoint.resume(spark)
+        state = checkpoint.resume(
+            spark, expected_id_type="bigint" if encode_ids else "string"
+        )
         if state is not None:
             start_iter, ranks, metrics = state
             dangling_mass = metrics["dangling_mass"]

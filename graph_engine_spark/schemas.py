@@ -85,6 +85,23 @@ NODES_SCHEMA = StructType(
         # update_function_call_count) — merged from the stateful call
         # stream, null on purely static nodes
         StructField("dynamic_call_count", LongType(), True),
+        # rename audit trail on the node itself (reference
+        # manager.py:499-507 rename_history[]); the streaming sink keeps
+        # the durable cross-restart log, this column carries the
+        # in-state view appended by apply_renames
+        StructField(
+            "rename_history",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("old_path", StringType(), True),
+                        StructField("new_path", StringType(), True),
+                        StructField("ts", DoubleType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
 

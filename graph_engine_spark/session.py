@@ -35,8 +35,17 @@ def get_spark(
     # SPILLS at 32 (measured: identical 20M-edge superstep 6s at
     # local[8]/24g but 28s at local[32]/24g, back to 8s at 80g). A real
     # cluster expresses this as spark.executor.memory per executor
-    # core; locally we scale the single JVM.
-    default_mem = f"{max(24, int(cores * 2.5))}g"
+    # core; locally we scale the single JVM — clamped to ~70% of
+    # physical RAM so the JVM can always launch (a 32-core host with
+    # 32 GB must not ask for an 80 g heap); SPARK_GRAFT_DRIVER_MEM
+    # still overrides unconditionally.
+    mem_gb = max(24, int(cores * 2.5))
+    try:
+        phys_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+        mem_gb = max(4, min(mem_gb, int(phys_gb * 0.7)))
+    except (ValueError, OSError, AttributeError):
+        pass  # non-POSIX: keep the core-scaled default
+    default_mem = f"{mem_gb}g"
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -237,8 +237,21 @@ def merge_dynamic_calls(state: GraphState, totals: DataFrame) -> GraphState:
 
     from graph_engine_spark.schemas import NODES_SCHEMA
 
-    node_totals = t.groupBy(F.col("dst").alias("id")).agg(
-        F.sum("_cnt").alias("_node_cnt")
+    # Per-node totals are recomputed from the MERGED edge table, not the
+    # incoming batch: stateful_call_counts emits only edges with NEW
+    # events per micro-batch, so a batch-derived sum would overwrite a
+    # callee's total with a partial view (X called by A=10,B=5 → 15;
+    # next batch A=12 only → node must become 17, not 12). Summing the
+    # merged edges — where quiet edges keep their carried totals — is
+    # additive like the reference's update_function_call_count
+    # (manager.py:249-272) and self-heals after apply_upserts re-aligns
+    # node columns to null.
+    node_totals = (
+        new_edges.filter(
+            (F.col("edge_type") == "calls") & F.col("dynamic_call_count").isNotNull()
+        )
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("dynamic_call_count").alias("_node_cnt"))
     )
     new_nodes = (
         _align(state.nodes, NODES_SCHEMA).join(node_totals, "id", "left")

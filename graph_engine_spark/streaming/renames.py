@@ -109,18 +109,70 @@ def apply_renames(state: GraphState, resolved: DataFrame) -> GraphState:
     join → regroup) would shuffle the ENTIRE node table to rename a
     handful of files.
     """
-    pairs = [
-        (r["old_path"], r["new_path"])
-        for r in resolved.select("old_path", "new_path").collect()
-    ]
+    has_ts = "new_ts" in resolved.columns
+    cols = ["old_path", "new_path"] + (["new_ts"] if has_ts else [])
+    rows = resolved.select(*cols).collect()
+    pairs = [(r["old_path"], r["new_path"]) for r in rows]
     if not pairs:
         return state
+    triples = [
+        (
+            r["old_path"],
+            r["new_path"],
+            r["new_ts"].timestamp() if has_ts and r["new_ts"] is not None else None,
+        )
+        for r in rows
+    ]
     mapping = F.create_map(*[F.lit(x) for pair in pairs for x in pair])
 
     def renamed(col):
         return F.coalesce(mapping[col], col)
 
-    nodes = state.nodes.withColumn("path", renamed(F.col("path"))).withColumn(
+    # rename_history entries (reference manager.py:499-507): every node
+    # whose provenance contained old_path — evaluated against the
+    # PRE-RENAME files array — appends an {old_path, new_path, ts}
+    # struct. Same bounded-literal shape as the mapping itself.
+    hist_entries = F.filter(
+        F.array(
+            *[
+                F.when(
+                    F.array_contains(F.col("files"), F.lit(old)),
+                    F.struct(
+                        F.lit(old).alias("old_path"),
+                        F.lit(new).alias("new_path"),
+                        F.lit(ts).cast("double").alias("ts"),
+                    ),
+                )
+                for old, new, ts in triples
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    nodes = state.nodes.withColumn(
+        "rename_history",
+        F.when(
+            F.size(hist_entries) > 0,
+            F.concat(
+                F.coalesce(
+                    F.col("rename_history")
+                    if "rename_history" in state.nodes.columns
+                    else F.lit(None).cast(
+                        "array<struct<old_path:string,new_path:string,ts:double>>"
+                    ),
+                    F.array().cast(
+                        "array<struct<old_path:string,new_path:string,ts:double>>"
+                    ),
+                ),
+                hist_entries,
+            ),
+        ).otherwise(
+            F.col("rename_history")
+            if "rename_history" in state.nodes.columns
+            else F.lit(None).cast(
+                "array<struct<old_path:string,new_path:string,ts:double>>"
+            )
+        ),
+    ).withColumn("path", renamed(F.col("path"))).withColumn(
         "files",
         F.when(
             F.col("files").isNotNull(), F.transform("files", lambda f: renamed(f))

@@ -55,18 +55,32 @@ MEASURE = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["REPO_DIR"])
 cores = int(sys.argv[1]); partitions = int(sys.argv[2]); edges_dir = sys.argv[3]
+salt_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+salt_threshold = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 from graph_engine_spark.session import get_spark
 from graph_engine_spark.graph.pagerank import pagerank
 spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
 spark.sparkContext.setLogLevel("ERROR")
+
+def _gc_millis():
+    # local mode: driver JVM == the executor, so the driver's collector
+    # MXBeans cover every task's GC. Used as a before/after delta.
+    beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
 # identical input bytes and identical partition count at both
 # parallelism levels: only the number of concurrently executing tasks
 # changes, the sandbox analogue of N vs 4N executors over one dataset.
 mg = spark.read.parquet(edges_dir).persist()
 n_edges = mg.count()
+gc0 = _gc_millis()
 t0 = time.time()
-res = pagerank(mg, tol=1e-6, max_iter=200, num_partitions=partitions)
+kw = {}
+if salt_buckets > 0:
+    kw = dict(salt_buckets=salt_buckets, salt_degree_threshold=salt_threshold)
+res = pagerank(mg, tol=1e-6, max_iter=200, num_partitions=partitions, **kw)
 t_wall = time.time() - t0
+gc_sec = (_gc_millis() - gc0) / 1000.0
 # the north metric is SUPERSTEPS/sec and edges-processed/sec: the
 # per-superstep timer inside pagerank measures exactly the iterative
 # work; one-time graph setup (adjacency build + dictionaries) is
@@ -74,9 +88,12 @@ t_wall = time.time() - t0
 t_steps = sum(res.superstep_seconds)
 print(json.dumps({
     "cores": cores, "link_edges": n_edges,
+    "partitions": partitions, "salt_buckets": salt_buckets,
+    "heap": spark.conf.get("spark.driver.memory"),
     "pagerank_wall_sec": round(t_wall, 2),
     "superstep_sec_total": round(t_steps, 2),
     "setup_sec": round(t_wall - t_steps, 2),
+    "gc_sec": round(gc_sec, 2),
     "supersteps": res.iterations, "converged": res.converged,
     "supersteps_per_sec": round(res.iterations / t_steps, 4),
     "edges_per_sec": round(n_edges * res.iterations / t_steps, 1),
@@ -160,7 +177,21 @@ def main() -> None:
     ap.add_argument("--cooldown", type=float, default=0.0,
                     help="seconds to sleep between windows in "
                     "--min-accepted mode")
+    ap.add_argument("--mem", default="",
+                    help="fix SPARK_GRAFT_DRIVER_MEM for ALL measure "
+                    "children so both parallelism levels run the "
+                    "IDENTICAL heap — removes the 24g-vs-80g GC "
+                    "confound from the efficiency ratio (a real "
+                    "cluster's spark.executor.memory doesn't change "
+                    "with cluster size either)")
+    ap.add_argument("--midpoint", action="store_true",
+                    help="also measure local[2n] inside each window "
+                    "(probe-bracketed) — localizes where scaling "
+                    "breaks: 8→16 vs 16→32")
     args = ap.parse_args()
+
+    if args.mem:
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = args.mem
 
     import time as _time
 
@@ -184,33 +215,41 @@ def main() -> None:
             break
         small_first = w % 2 == 0
         t_start = _time.time()
-        if small_first:
-            probe1 = cpu_probe()
-            small = run(args.n, args.partitions, args.edges_dir)
-            probe2 = cpu_probe()
-            large = run(args.n * 4, args.partitions, args.edges_dir)
-        else:
-            probe1 = cpu_probe()
-            large = run(args.n * 4, args.partitions, args.edges_dir)
-            probe2 = cpu_probe()
-            small = run(args.n, args.partitions, args.edges_dir)
-        probe3 = cpu_probe()  # brackets the second half too
-        probes = [probe1, probe2, probe3]
+        levels = [("small", args.n), ("large", args.n * 4)]
+        if args.midpoint:
+            levels.insert(1, ("mid", args.n * 2))
+        if not small_first:
+            levels = levels[::-1]
+        probes = []
+        results: dict[str, dict] = {}
+        for label, cores in levels:
+            probes.append(cpu_probe())
+            results[label] = run(cores, args.partitions, args.edges_dir)
+        probes.append(cpu_probe())  # brackets the last half too
         probe_shift = (max(probes) - min(probes)) / max(min(probes), 1.0)
+        small, large = results["small"], results["large"]
         eff = (large["edges_per_sec"] / small["edges_per_sec"]) / 4
-        windows.append(
-            {
-                "window": w + 1,
-                "order": "small_first" if small_first else "large_first",
-                "window_wall_sec": round(_time.time() - t_start, 1),
-                "cpu_probes": [round(p, 0) for p in probes],
-                "probe_shift": round(probe_shift, 4),
-                "accepted": probe_shift <= args.probe_tolerance,
-                "small": small,
-                "large": large,
-                "efficiency": round(eff, 4),
-            }
-        )
+        rec = {
+            "window": w + 1,
+            "order": "small_first" if small_first else "large_first",
+            "window_wall_sec": round(_time.time() - t_start, 1),
+            "cpu_probes": [round(p, 0) for p in probes],
+            "probe_shift": round(probe_shift, 4),
+            "accepted": probe_shift <= args.probe_tolerance,
+            "small": small,
+            "large": large,
+            "efficiency": round(eff, 4),
+        }
+        if args.midpoint:
+            mid = results["mid"]
+            rec["mid"] = mid
+            rec["efficiency_small_to_mid"] = round(
+                (mid["edges_per_sec"] / small["edges_per_sec"]) / 2, 4
+            )
+            rec["efficiency_mid_to_large"] = round(
+                (large["edges_per_sec"] / mid["edges_per_sec"]) / 2, 4
+            )
+        windows.append(rec)
         print(
             json.dumps(
                 {
@@ -231,6 +270,7 @@ def main() -> None:
         "files": args.files,
         "imports_per_file": args.imports,
         "loop_partitions": args.partitions,
+        "fixed_heap": args.mem or None,
         "methodology": (
             "local[N] vs local[4N] on identical deterministic corpus bytes "
             "and identical loop partition count — the sandbox substitution "

@@ -172,6 +172,37 @@ def test_pagerank_checkpoint_resume(spark, tmp_path):
         assert abs(got_full[k] - got_res[k]) < 1e-9
 
 
+def test_checkpoint_resume_rejects_mismatched_id_coding(spark, tmp_path):
+    """A checkpoint written with string vertex ids must FAIL FAST when
+    resumed into an encode_ids run (whose decode joins would otherwise
+    silently match nothing), and vice versa — the manifest's recorded
+    schema is the guard (ADVICE r2)."""
+    import pytest
+
+    from graph_engine_spark.graph.checkpoint import CheckpointManager
+
+    pairs = ring(20) + star(6)  # star skew: no instant convergence
+    # run 1: string-id coding, leave a checkpoint behind
+    ck = CheckpointManager(str(tmp_path / "mix_ck"), every_k=3)
+    pagerank(
+        edge_df(spark, pairs), tol=1e-10, max_iter=6, num_partitions=2,
+        checkpoint=ck, encode_ids=False,
+    )
+    assert ck.iterations()
+    # run 2: integer coding resuming the string checkpoint → ValueError
+    with pytest.raises(ValueError, match="vertex-id coding"):
+        pagerank(
+            edge_df(spark, pairs), tol=1e-10, max_iter=10, num_partitions=2,
+            checkpoint=ck, resume=True, encode_ids=True,
+        )
+    # matching coding still resumes fine
+    resumed = pagerank(
+        edge_df(spark, pairs), tol=1e-10, max_iter=10, num_partitions=2,
+        checkpoint=ck, resume=True, encode_ids=False,
+    )
+    assert resumed.iterations >= 6
+
+
 def nx_components(pairs):
     g = nx.Graph()
     g.add_edges_from((str(a), str(b)) for a, b in pairs)

@@ -42,14 +42,22 @@ import { thing } from 'other_module';
 const helper = require('helper_lib');
 
 class Animal extends Base {
-  speak() { return 'hi'; }
+  speak() { return describe(this.kind); }
 }
 
 function makeAnimal(kind) {
   return new Animal(kind);
 }
 
-const arrowFn = (x) => x + 1;
+function describe(k) {
+  return formatKind(k);
+}
+
+const arrowFn = (x) => formatKind(x + 1);
+
+const formatKind = (k) => String(k).trim();
+
+makeAnimal('cat');
 """
 
 
@@ -92,6 +100,45 @@ def test_js_extraction_golden():
     assert ("file:sample.js", "import:other_module", "imports") in eset
     assert ("file:sample.js", "import:helper_lib", "imports") in eset
     assert ("module:sample.js", "function:makeAnimal", "contains") in eset
+    # call edges (reference tree_sitter_parser.py:549-567): declared
+    # functions, arrows, and shorthand methods all get caller scopes
+    assert ("function:describe", "function:formatKind", "calls") in eset
+    assert ("function:arrowFn", "function:formatKind", "calls") in eset
+    assert ("function:speak", "function:describe", "calls") in eset
+    # `new Animal(kind)` is a new_expression, not a call
+    assert ("function:makeAnimal", "function:Animal", "calls") not in eset
+    # module-level `makeAnimal('cat')` has no enclosing function scope
+    assert not any(d == "function:makeAnimal" and t == "calls" for _, d, t in eset)
+    # dotted built-in callee inside an arrow body carries raw text
+    assert ("function:formatKind", "function:String", "calls") in eset
+    # shorthand method registered as a function node with params
+    ids2 = {n[0]: n for n in nodes}
+    assert ids2["function:speak"][1] == "function"
+    assert ids2["function:describe"][5] == ["k"]
+
+
+def test_mixed_language_call_graph(spark):
+    """A mixed py+js corpus yields call-graph edges from BOTH languages
+    (round-2 gap: JS callers were silently absent)."""
+    from graph_engine_spark.graph.linkgraph import function_call_graph
+
+    py = "def py_callee():\n    return 1\n\ndef py_caller():\n    return py_callee()\n"
+    js = (
+        "function jsCallee() { return 1; }\n"
+        "function jsCaller() { return jsCallee(); }\n"
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("r", "a.py", "c1", "python", py),
+            ("r", "b.js", "c1", "javascript", js),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    nodes, edges = extract_graph(corpus)
+    g = function_call_graph(edges, nodes)
+    got = {(r["src"], r["dst"]) for r in g.collect()}
+    assert ("function:py_caller", "function:py_callee") in got
+    assert ("function:jsCaller", "function:jsCallee") in got
 
 
 @pytest.fixture(scope="module")
@@ -193,6 +240,40 @@ def test_function_call_graph(spark, small_graph):
     # external callees (dotted module attributes) kept only on request
     ext = function_call_graph(edges, nodes, keep_external=True)
     assert ext.count() >= g.count()
+
+
+def test_treesitter_request_degrades_to_fallback_without_grammars():
+    """parser='treesitter' in an environment with no grammars (this
+    sandbox) must produce EXACTLY the fallback extraction — the
+    reference's MinimalParser degradation, silently and per-file."""
+    from graph_engine_spark.extractor.pyext import extract_file
+
+    for path, lang, src in (
+        ("src/sample.py", "python", PY_SAMPLE),
+        ("src/sample.js", "javascript", JS_SAMPLE),
+    ):
+        assert extract_file(path, lang, src, parser="treesitter") == extract_file(
+            path, lang, src
+        )
+
+
+def test_treesitter_path_matches_fallback_golden():
+    """Where real grammars exist, the tree-sitter walk must produce the
+    same golden node-id/edge sets as the ast path (IR-shape parity);
+    skipped in grammarless environments."""
+    import pytest as _pytest
+
+    _pytest.importorskip("tree_sitter")
+    from graph_engine_spark.extractor.tsext import extract_treesitter, ts_available
+
+    if not ts_available("python"):
+        _pytest.skip("tree_sitter importable but no python grammar wheel")
+    ts_out = extract_treesitter("src/sample.py", "python", PY_SAMPLE)
+    assert ts_out is not None
+    ts_nodes, ts_edges = ts_out
+    ast_nodes, ast_edges = extract_python("src/sample.py", PY_SAMPLE)
+    assert {(n[0], n[1]) for n in ts_nodes} == {(n[0], n[1]) for n in ast_nodes}
+    assert set(ts_edges) == set(ast_edges)
 
 
 def test_js_params_destructuring_and_defaults():

@@ -85,6 +85,26 @@ def test_minhash_lsh_bucket_cap_drops_degenerate_buckets(spark):
     assert sum(1 for a, b in uncapped if a < 30 and b < 30) == 30 * 29 // 2
 
 
+def test_minhash_lsh_capped_mode_leaves_no_cached_tables(spark):
+    """Round-2 leak regression: the capped path materializes its banded
+    table via localCheckpoint, not persist — after the candidate pairs
+    are consumed, the session's CacheManager holds exactly what it held
+    before (repeated per-shard dedup calls must not accumulate cached
+    tables until eviction pressure)."""
+    from graph_engine_spark.pipelines.dedup import minhash_lsh_candidates
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    baseline = cache_mgr.cachedData().size()
+    rows = [(i, f"document number {i} with shared boilerplate tail text") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for _ in range(2):  # repeated calls: the leak was cumulative
+        n = minhash_lsh_candidates(
+            df, num_hashes=16, bands=8, k=3, max_bucket_size=5
+        ).count()
+        assert n >= 0
+    assert cache_mgr.cachedData().size() == baseline
+
+
 def test_minhash_lsh_xxhash64_production_mode(spark):
     """hash_mode='xxhash64' keeps the same plan and finds the same
     planted near-dups (different hash family, same LSH guarantees)."""
@@ -166,7 +186,31 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert again == by_doc
 
 
-def test_simhash_near_dup_hamming(spark):
+def test_winnowing_chunked_equals_single_chunk(spark):
+    """Giant-document chunking (window−1 overlap between position
+    chunks) produces BIT-IDENTICAL fingerprint sets to the single-chunk
+    form — the parallelization must not change the algorithm."""
+    from graph_engine_spark.pipelines.dedup import winnowing_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 12),
+        (2, "some other body of text that repeats a little, " * 9),
+        (3, "tiny"),  # shorter than k: single-gram degenerate path
+        (4, "barely eight+"),  # n_grams < window: clipped-window path
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def fp_sets(chunk_positions):
+        out = {}
+        for r in winnowing_fingerprints(
+            df, k=8, window=4, chunk_positions=chunk_positions
+        ).collect():
+            out.setdefault(r["key"], set()).add(r["fingerprint"])
+        return out
+
+    single = fp_sets(10**9)  # everything in chunk 0
+    for c in (4, 7, 16, 101):  # boundary-hostile chunk sizes
+        assert fp_sets(c) == single, f"chunk_positions={c} diverged"
     from graph_engine_spark.pipelines.dedup import simhash_table
 
     rows = [

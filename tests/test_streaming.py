@@ -264,6 +264,43 @@ def test_apply_renames_preserves_ids_and_moves_provenance(spark):
     assert "a.py" not in new_hash
 
 
+def test_apply_renames_accumulates_rename_history(spark):
+    """reference manager.py:499-507: every node that carried the file
+    appends an {old_path, new_path, ts} struct per rename — two renames
+    of the same file accumulate TWO entries, untouched nodes none."""
+    import datetime
+
+    from graph_engine_spark.streaming.renames import apply_renames
+
+    state = empty_state(spark)
+    state = apply_upserts(
+        state, corpus_df(spark, [("r", "a.py", FILE_A_V1), ("r", "b.py", FILE_B)])
+    )
+    t1 = datetime.datetime(2026, 8, 17, 12, 0, 0)
+    t2 = datetime.datetime(2026, 8, 17, 12, 0, 5)
+    r1 = spark.createDataFrame(
+        [("a.py", "mid.py", 1.0, t1)], ["old_path", "new_path", "similarity", "new_ts"]
+    )
+    r2 = spark.createDataFrame(
+        [("mid.py", "final.py", 1.0, t2)],
+        ["old_path", "new_path", "similarity", "new_ts"],
+    )
+    state2 = apply_renames(apply_renames(state, r1), r2)
+    moved = state2.nodes.filter(F.col("path") == "final.py").collect()
+    assert moved
+    for row in moved:
+        hist = row["rename_history"]
+        assert [(h["old_path"], h["new_path"]) for h in hist] == [
+            ("a.py", "mid.py"),
+            ("mid.py", "final.py"),
+        ]
+        assert hist[0]["ts"] == t1.timestamp()
+        assert hist[1]["ts"] == t2.timestamp()
+    # a node never scoped to the renamed file carries no history
+    untouched = state2.nodes.filter(F.col("id") == "module:b.py").collect()
+    assert untouched and untouched[0]["rename_history"] is None
+
+
 def test_streaming_rename_window_out_of_order_batches(spark, tmp_path):
     """The delete arrives in micro-batch 1, its create in micro-batch 2
     (restarted query, state carried by the checkpoint): the interval
@@ -378,6 +415,22 @@ def test_merge_dynamic_calls_upsert_and_new_edge(spark):
     assert again[0]["first_call_time"] == 9.0 and again[0]["last_call_time"] == 20.0
     # the ghost edge from the earlier merge persists untouched
     assert merged2.edges.filter(F.col("src") == "function:ghost").count() == 1
+    # callee node total after a PARTIAL batch: recomputed from the merged
+    # edges (4 from caller + 5 carried on the quiet ghost edge), not
+    # overwritten by the batch-only sum (which would lose ghost's 5)
+    callee2 = merged2.nodes.filter(F.col("id") == "function:shared_func").collect()
+    assert callee2[0]["dynamic_call_count"] == 9
+
+    # self-healing across an upsert: apply_upserts re-aligns node columns
+    # (dropping dynamic totals), and the next merge — even an EMPTY
+    # totals batch — restores them from the carried edge totals
+    state3 = apply_upserts(
+        merged2, corpus_df(spark, [("r", "b.py", "def other():\n    return 2\n")])
+    )
+    empty_totals = totals2.limit(0)
+    merged3 = merge_dynamic_calls(state3, empty_totals)
+    callee3 = merged3.nodes.filter(F.col("id") == "function:shared_func").collect()
+    assert callee3[0]["dynamic_call_count"] == 9
 
 
 def test_apply_deletes_large_batch_stays_distributed(spark):
