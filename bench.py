@@ -203,12 +203,30 @@ def run_operator_queries(spark, reps: int = QUERY_REPS) -> dict[str, float]:
         if name == "winnowing":
             t, _ = timed(lambda: winnowing_fingerprints(docs, k=8, window=4).count())
             return t
+        if name == "winnowing_1mb_doc":
+            # giant-document path: 8 planted ~1 MB docs — exercises the
+            # position-chunked running-min (one doc spreads over ~16
+            # chunk tasks instead of serializing 1M one-window rows
+            # into a single task)
+            big = spark.range(8).select(
+                F.col("id").alias("key"),
+                F.concat(
+                    F.repeat(F.lit("the quick brown fox jumps over the lazy dog "), 23000),
+                    F.col("id").cast("string"),
+                ).alias("text"),
+            )
+            t, _ = timed(
+                lambda: winnowing_fingerprints(
+                    big, text_col="text", key_col="key", k=8, window=4
+                ).count()
+            )
+            return t
         t, df = timed(lambda: q[name](spark, SF_DIR))
         t2, _ = timed(df.collect)
         return t + t2
 
     out: dict[str, float] = {}
-    for name in (*OPERATOR_QUERIES, "minhash_lsh_xxhash64", "winnowing"):
+    for name in (*OPERATOR_QUERIES, "minhash_lsh_xxhash64", "winnowing", "winnowing_1mb_doc"):
         out[name] = round(statistics.median(one_rep(name) for _ in range(reps)), 3)
     return out
 

@@ -126,9 +126,14 @@ def connected_components(
     it0 = 0
     e = None
     if resume and checkpoint is not None:
-        state = checkpoint.resume(
-            spark, expected_id_type="bigint" if encode_ids else "string"
-        )
+        try:
+            state = checkpoint.resume(
+                spark, expected_id_type="bigint" if encode_ids else "string"
+            )
+        except Exception:
+            if id_map is not None:  # fail fast without leaking the cache
+                id_map.unpersist()
+            raise
         if state is not None:
             it0, e, _ = state
             e = e.select(F.col(e.columns[0]).alias("u"), F.col(e.columns[1]).alias("v"))

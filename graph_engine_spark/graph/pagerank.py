@@ -221,9 +221,23 @@ def pagerank(
     ranks = verts.select("id", "dangling", F.lit(1.0 / n).alias("rank"))
     dangling_mass = n_dangling / n
     if resume and checkpoint is not None:
-        state = checkpoint.resume(
-            spark, expected_id_type="bigint" if encode_ids else "string"
-        )
+        try:
+            state = checkpoint.resume(
+                spark, expected_id_type="bigint" if encode_ids else "string"
+            )
+        except Exception:
+            # fail-fast paths (id-coding mismatch) must not leak the
+            # loop-tuned session conf or the build caches
+            adj.unpersist()
+            verts.unpersist()
+            if hubs_df is not None:
+                hubs_df.unpersist()
+            if owned_edges is not None:
+                owned_edges.unpersist()
+            if id_map is not None:
+                id_map.unpersist()
+            loop_conf.restore()
+            raise
         if state is not None:
             start_iter, ranks, metrics = state
             dangling_mass = metrics["dangling_mass"]

@@ -396,17 +396,30 @@ def winnowing_fingerprints(
     C = max(int(chunk_positions), window)
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     n = F.length(norm)
-    grams = F.when(n < k, F.array(norm)).otherwise(
-        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: norm.substr(i, F.lit(k)))
-    )
     n_grams = F.when(n < k, F.lit(1)).otherwise(n - k + 1)
+    # Gram extraction is O(k·n) per document: split to a char array
+    # ONCE, then zip k shifted slices so element j of the zipped array
+    # is exactly gram j, and concat each struct's k fields. The naive
+    # form — transform(sequence(1, n-k+1), i -> norm.substr(i, k)) —
+    # inlines the WHOLE norm subtree (a regexp_replace over the full
+    # text) into the lambda, re-evaluating it per array element:
+    # O(n²) with a regex constant (a 22 KB document stalled an
+    # executor for minutes; the short sf0.01 oracle docs merely hid
+    # it). substr is also an O(position) codepoint scan on UTF8String,
+    # a second quadratic term the array slices avoid.
+    chars = F.split(norm, "")
+    zipped = F.arrays_zip(*[F.slice(chars, i + 1, n_grams) for i in range(k)])
+    grams = F.when(n < k, F.array(norm)).otherwise(
+        F.transform(
+            zipped, lambda s: F.concat_ws("", *[s[str(i)] for i in range(k)])
+        )
+    )
     pos_grams = docs.select(
         F.col(key_col).alias("key"),
-        n_grams.alias("_ng"),
         F.posexplode(grams).alias("pos", "g"),
     )
     hashed = pos_grams.select(
-        "key", "_ng", "pos", _base_hash(F.col("g"), 2, hash_mode).alias("h")
+        "key", "pos", _base_hash(F.col("g"), 2, hash_mode).alias("h")
     )
     own_chunk = F.floor(F.col("pos") / C).cast("int")
     # head-of-chunk rows double as tail context for the previous chunk
@@ -414,21 +427,38 @@ def winnowing_fingerprints(
         (F.col("pos") >= C) & (F.col("pos") % C < window - 1),
         F.array(own_chunk, own_chunk - 1),
     ).otherwise(F.array(own_chunk))
-    chunked = hashed.select(
-        "key", "_ng", "pos", "h", F.explode(chunk_ids).alias("_chunk")
-    )
+    chunked = hashed.select("key", "pos", "h", F.explode(chunk_ids).alias("_chunk"))
     run = W.partitionBy("key", "_chunk").orderBy("pos").rowsBetween(0, window - 1)
+    per_chunk = W.partitionBy("key", "_chunk")
     mins = chunked.select(
-        "key", "_ng", "pos", "_chunk", F.min("h").over(run).alias("fingerprint")
+        "key",
+        "pos",
+        "_chunk",
+        F.min("h").over(run).alias("fingerprint"),
+        F.max("pos").over(per_chunk).alias("_mx"),
     )
+    # Valid window starts: globally pos ≤ n_grams−window, expressed PER
+    # CHUNK as pos ≤ max(pos)−window+1 over (key, chunk). The overlap
+    # construction makes the two identical: every non-last chunk's max
+    # extends exactly window−1 context positions past its own range (so
+    # all its own starts pass), while the last chunk's max is the
+    # document end (so its final window−1 starts fail) — including the
+    # boundary case where the document ends inside the context range.
+    # Deriving validity from the partition max keeps the plan free of
+    # any per-row document-level expression: carrying a computed
+    # n_grams column through the explode lets CollapseProject inline
+    # its defining regexp_replace(text) subtree into the filter,
+    # re-running a full-document regex PER GRAM ROW — measured 39 s of
+    # a 48 s total on 8×22 KB docs. The per-chunk max shares the min's
+    # partitioning (no extra shuffle, chunk-bounded sort).
     return (
         mins.filter(
             # context rows replicated from the next chunk are lookahead
             # only, never window starts of this chunk
             (F.floor(F.col("pos") / C).cast("int") == F.col("_chunk"))
-            # valid window starts: 0..n_grams-window (a short document
-            # keeps only pos 0, whose clipped window covers every gram)
-            & (F.col("pos") <= F.greatest(F.col("_ng") - window, F.lit(0)))
+            # greatest(...,0): a document shorter than window keeps its
+            # clipped pos-0 window
+            & (F.col("pos") <= F.greatest(F.col("_mx") - window + 1, F.lit(0)))
         )
         .select("key", "fingerprint")
         .distinct()

@@ -63,6 +63,13 @@ def import_reference_json(spark, json_path: str):
                 n.get("content_hash"),
                 list(n["parameters"]) if n.get("parameters") else None,
                 n.get("dynamic_call_count"),
+                # rename_history structs (manager.py:499-507) when present
+                [
+                    (h.get("old_path"), h.get("new_path"), h.get("ts"))
+                    for h in n["rename_history"]
+                ]
+                if n.get("rename_history")
+                else None,
             )
         )
     edge_rows = []
@@ -122,6 +129,12 @@ def export_reference_json(state, json_path: str) -> None:
                     "files": list(r["files"]) if r["files"] else None,
                     "parameters": list(r["params"]) if r["params"] else None,
                     "dynamic_call_count": r["dynamic_call_count"],
+                    "rename_history": [
+                        {"old_path": h["old_path"], "new_path": h["new_path"], "ts": h["ts"]}
+                        for h in r["rename_history"]
+                    ]
+                    if "rename_history" in r.__fields__ and r["rename_history"]
+                    else None,
                 }
             )
         )

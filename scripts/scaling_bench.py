@@ -122,6 +122,32 @@ def cpu_probe(seconds: float = 3.0) -> float:
     return n / (_t.time() - t0)
 
 
+def _agg_worker(seconds: float, q) -> None:
+    q.put(cpu_probe(seconds))
+
+
+def aggregate_capacity(nproc: int, seconds: float = 4.0) -> float:
+    """AGGREGATE CPU capacity at nproc busy processes (sum of per-proc
+    iterations/sec). Single-thread probes cannot see hypervisor-level
+    parallel throttling: round-3 measurement on this KVM guest showed a
+    healthy single-thread probe while 32 busy vCPUs received only
+    ~23.5 cores' worth of cycles (79% of guest time misattributed to
+    'system' + 19% steal). The ratio
+    (capacity(4N)/capacity(N))/4 is the HARDWARE ceiling on any
+    N→4N scaling efficiency measured on this box — recorded per window
+    so engine efficiency is interpretable against it."""
+    import multiprocessing as mp
+
+    q = mp.Queue()
+    ps = [mp.Process(target=_agg_worker, args=(seconds, q)) for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total
+
+
 def _child(code: str, argv: list[str]) -> dict:
     env = dict(os.environ, REPO_DIR=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out = subprocess.run(
@@ -201,6 +227,21 @@ def main() -> None:
         print(json.dumps({"setup": setup, "setup_sec": round(_time.time() - t0, 1)}),
               flush=True)
 
+    # one-time host parallel-capacity curve (pure arithmetic, no Spark):
+    # where aggregate capacity stops scaling linearly is where local[K]
+    # comparisons stop measuring the engine and start measuring the
+    # hypervisor's CPU allocation
+    curve = {}
+    base_cap = aggregate_capacity(1)
+    curve["1"] = {"Miters": round(base_cap / 1e6, 1), "speedup": 1.0}
+    for nn in (2, 4, 8, 16, 32):
+        c = aggregate_capacity(nn)
+        curve[str(nn)] = {
+            "Miters": round(c / 1e6, 1),
+            "speedup": round(c / base_cap, 2),
+        }
+    print(json.dumps({"host_capacity_curve": curve}), flush=True)
+
     windows = []
     w = -1
     while True:
@@ -215,6 +256,12 @@ def main() -> None:
             break
         small_first = w % 2 == 0
         t_start = _time.time()
+        # hardware parallel-capacity bracket: aggregate CPU at N and 4N
+        # busy processes, measured at the window open — the ceiling any
+        # engine efficiency in this window could reach on this host
+        cap_small = aggregate_capacity(args.n)
+        cap_large = aggregate_capacity(args.n * 4)
+        hw_ceiling = (cap_large / cap_small) / 4 if cap_small else None
         levels = [("small", args.n), ("large", args.n * 4)]
         if args.midpoint:
             levels.insert(1, ("mid", args.n * 2))
@@ -239,6 +286,14 @@ def main() -> None:
             "small": small,
             "large": large,
             "efficiency": round(eff, 4),
+            "agg_capacity_Miters": {
+                str(args.n): round(cap_small / 1e6, 1),
+                str(args.n * 4): round(cap_large / 1e6, 1),
+            },
+            "hw_parallel_ceiling": round(hw_ceiling, 4) if hw_ceiling else None,
+            "efficiency_vs_hw_ceiling": round(eff / hw_ceiling, 4)
+            if hw_ceiling
+            else None,
         }
         if args.midpoint:
             mid = results["mid"]
@@ -271,6 +326,9 @@ def main() -> None:
         "imports_per_file": args.imports,
         "loop_partitions": args.partitions,
         "fixed_heap": args.mem or None,
+        "n_small": args.n,
+        "n_large": args.n * 4,
+        "host_capacity_curve": curve,
         "methodology": (
             "local[N] vs local[4N] on identical deterministic corpus bytes "
             "and identical loop partition count — the sandbox substitution "
