@@ -9,15 +9,19 @@ across two parallelism levels is produced by scripts/scaling_bench.py
 (separate sessions needed for different local[N] masters).
 
 HOST-VALIDITY GATING (round-2 lesson: BENCH_r02.json was taken in a
-throttled host window and recorded 5-60× phantom regressions): the
-whole bench is bracketed by single-threaded CPU probes (start / after
-the pipeline / end). If the probes disagree beyond PROBE_TOLERANCE the
-host's deliverable CPU changed mid-run — the numbers measure the host,
-not the engine — and the entire bench is re-run (up to MAX_ATTEMPTS).
-Operator queries additionally report the MEDIAN of 3 repetitions. The
-emitted JSON carries the probe evidence and `window.accepted`; a
-rejected final attempt is published only with accepted=false so the
-record can never silently masquerade as a valid measurement.
+throttled host window and recorded 5-60× phantom regressions; the
+round-3 whole-run bracket then showed the host's deliverable CPU is
+only stationary for ~minutes, far shorter than a full bench): every
+measurement is bracketed at the FINEST useful granularity — each
+operator query's rep-set and each pipeline stage gets its own pair of
+single-threaded CPU probes, is re-run up to MAX_ATTEMPTS times if its
+probes disagree beyond PROBE_TOLERANCE, and carries its own
+accepted/probe_shift record in `window.queries` / `window.pipeline`.
+Operator queries report the MEDIAN of QUERY_REPS repetitions. The
+headline `window.accepted` is true only if every bracket accepted; a
+rejected bracket's time is an upper bound on the engine, not a
+measurement of it — and is labeled as such, so the record can never
+silently masquerade as valid.
 """
 
 from __future__ import annotations
@@ -62,7 +66,7 @@ def timed(fn):
     return time.time() - t0, out
 
 
-def cpu_probe(seconds: float = 3.0) -> float:
+def cpu_probe(seconds: float = 1.5) -> float:
     """Single-threaded CPU throughput probe (same loop as
     scripts/scaling_bench.py) — iterations/sec of fixed arithmetic."""
     n = 0
@@ -78,10 +82,38 @@ def cpu_probe(seconds: float = 3.0) -> float:
     return n / (time.time() - t0)
 
 
-def run_pipeline(spark) -> tuple[dict, dict]:
-    """North-rule pipeline over the synthetic corpus: one pass per
-    attempt (the expensive section; validity comes from the probe
-    bracket, repetition comes from re-attempts on rejection)."""
+def bracketed(fn, max_attempts: int = MAX_ATTEMPTS, tol: float = PROBE_TOLERANCE):
+    """Run fn() inside its own CPU-probe bracket; re-run (fresh
+    bracket) while the probes disagree beyond tol and attempts remain.
+    Returns (result_of_last_attempt, window_record)."""
+    out = None
+    shifts = []
+    for attempt in range(1, max_attempts + 1):
+        p0 = cpu_probe()
+        out = fn()
+        p1 = cpu_probe()
+        shift = abs(p0 - p1) / max(min(p0, p1), 1.0)
+        shifts.append(round(shift, 4))
+        if shift <= tol:
+            return out, {
+                "accepted": True,
+                "attempts": attempt,
+                "probe_shifts": shifts,
+                "probe_Miters": [round(p0 / 1e6, 1), round(p1 / 1e6, 1)],
+            }
+    return out, {
+        "accepted": False,
+        "attempts": max_attempts,
+        "probe_shifts": shifts,
+        "probe_Miters": [round(p0 / 1e6, 1), round(p1 / 1e6, 1)],
+    }
+
+
+def run_pipeline(spark) -> tuple[dict, dict, dict]:
+    """North-rule pipeline over the synthetic corpus. Each stage runs
+    inside its own probe bracket (windows returned per stage); a stage
+    whose bracket rejects re-runs once before being published as
+    rejected."""
     from graph_engine_spark.corpus import synthesize_corpus
     from graph_engine_spark.extractor import extract_graph
     from graph_engine_spark.graph.linkgraph import function_call_graph, module_link_graph
@@ -92,35 +124,53 @@ def run_pipeline(spark) -> tuple[dict, dict]:
     from graph_engine_spark.graph.checkpoint import CheckpointManager
 
     queries: dict[str, float] = {}
+    windows: dict[str, dict] = {}
     corpus = synthesize_corpus(spark, n_files=N_FILES, n_components=5, hubs_per_component=4)
+
+    def stage(name, fn, attempts=2):
+        (t, out), w = bracketed(lambda: timed(fn), max_attempts=attempts)
+        windows[name] = w
+        return t, out
 
     def _extract():
         nodes, edges = extract_graph(corpus)
         return nodes.count(), edges.count(), nodes, edges
 
-    t_extract, (n_nodes, n_edges, nodes_df, edges) = timed(_extract)
+    t_extract, (n_nodes, n_edges, nodes_df, edges) = stage("extract_graph", _extract)
     queries["extract_graph"] = round(t_extract, 3)
 
-    t_mg, mg = timed(lambda: module_link_graph(edges).persist())
+    # attempts=1 on stages that persist and hand back live frames — a
+    # bracket retry would re-persist a fresh frame and leak the first
+    t_mg, mg = stage(
+        "module_link_graph",
+        lambda: (lambda d: (d, d.count()))(module_link_graph(edges).persist()),
+        attempts=1,
+    )
+    mg = mg[0]
     n_link_edges = mg.count()
     queries["module_link_graph"] = round(t_mg, 3)
 
-    t_cg, cg = timed(lambda: function_call_graph(edges, nodes_df).persist())
-    n_call_edges = cg.count()
+    t_cg, cg_pair = stage(
+        "function_call_graph",
+        lambda: (lambda d: (d, d.count()))(function_call_graph(edges, nodes_df).persist()),
+        attempts=1,
+    )
+    cg, n_call_edges = cg_pair
     queries["function_call_graph"] = round(t_cg, 3)
     cg.unpersist()
 
-    t_pr, pr = timed(lambda: pagerank(mg, tol=1e-6, max_iter=200))
+    t_pr, pr = stage("pagerank_to_1e6", lambda: pagerank(mg, tol=1e-6, max_iter=200))
     queries["pagerank_to_1e6"] = round(t_pr, 3)
 
     # salting evidence: same 6 supersteps with and without degree-
     # TARGETED hub salting on the skewed corpus (hub modules take ~half
     # of all imports; threshold 200 puts exactly the hub modules on the
     # two-stage path and every other key on the single-stage agg)
-    t_salt6, _ = timed(
-        lambda: pagerank(mg, tol=-1.0, max_iter=6, salt_buckets=8, salt_degree_threshold=200)
+    t_salt6, _ = stage(
+        "salted_6steps",
+        lambda: pagerank(mg, tol=-1.0, max_iter=6, salt_buckets=8, salt_degree_threshold=200),
     )
-    t_plain6, _ = timed(lambda: pagerank(mg, tol=-1.0, max_iter=6))
+    t_plain6, _ = stage("unsalted_6steps", lambda: pagerank(mg, tol=-1.0, max_iter=6))
 
     # durable-checkpoint evidence at bench scale (north rule: resumable
     # with per-partition lineage): the same 6 supersteps writing a
@@ -129,19 +179,29 @@ def run_pipeline(spark) -> tuple[dict, dict]:
     # edge pytest graph
     import tempfile
 
-    with tempfile.TemporaryDirectory(prefix="bench_ck_") as ckdir:
-        ck = CheckpointManager(ckdir, every_k=5, keep_last=1)
-        t_ck6, _ = timed(lambda: pagerank(mg, tol=-1.0, max_iter=6, checkpoint=ck))
+    def _ck6():
+        with tempfile.TemporaryDirectory(prefix="bench_ck_") as ckdir:
+            ck = CheckpointManager(ckdir, every_k=5, keep_last=1)
+            return pagerank(mg, tol=-1.0, max_iter=6, checkpoint=ck)
 
-    t_cc, cc = timed(lambda: connected_components(mg))
-    cc.components.count()
+    t_ck6, _ = stage("checkpointed_6steps", _ck6)
+
+    t_cc, cc = stage(
+        "connected_components",
+        lambda: (lambda r: (r, r.components.count()))(connected_components(mg)),
+        attempts=1,
+    )
+    cc = cc[0]
     queries["connected_components"] = round(t_cc, 3)
 
-    t_lpa, lpa = timed(lambda: label_propagation(mg, max_iter=5))
-    lpa.labels.count()
+    t_lpa, _ = stage(
+        "label_propagation_5it",
+        lambda: (lambda r: (r, r.labels.count()))(label_propagation(mg, max_iter=5)),
+        attempts=1,
+    )
     queries["label_propagation_5it"] = round(t_lpa, 3)
 
-    t_tri, tri = timed(lambda: triangle_count(mg))
+    t_tri, tri = stage("triangle_count", lambda: triangle_count(mg))
     queries["triangle_count"] = round(t_tri, 3)
     mg.unpersist()  # last consumer of the link graph (leak fix, ADVICE r2)
 
@@ -165,12 +225,13 @@ def run_pipeline(spark) -> tuple[dict, dict]:
         "checkpointed_6steps_sec": round(t_ck6, 3),
         "checkpoint_overhead_per_superstep_sec": round((t_ck6 - t_plain6) / 6, 3),
     }
-    return queries, detail
+    return queries, detail, windows
 
 
-def run_operator_queries(spark, reps: int = QUERY_REPS) -> dict[str, float]:
+def run_operator_queries(spark, reps: int = QUERY_REPS) -> tuple[dict, dict]:
     """Operator queries over the driver tables: median of `reps`
-    end-to-end (plan + execute + collect) runs per query."""
+    end-to-end (plan + execute + collect) runs per query, each query's
+    rep-set probe-bracketed and re-run on a rejected bracket."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
@@ -226,9 +287,14 @@ def run_operator_queries(spark, reps: int = QUERY_REPS) -> dict[str, float]:
         return t + t2
 
     out: dict[str, float] = {}
+    windows: dict[str, dict] = {}
     for name in (*OPERATOR_QUERIES, "minhash_lsh_xxhash64", "winnowing", "winnowing_1mb_doc"):
-        out[name] = round(statistics.median(one_rep(name) for _ in range(reps)), 3)
-    return out
+        med, w = bracketed(
+            lambda name=name: statistics.median(one_rep(name) for _ in range(reps))
+        )
+        out[name] = round(med, 3)
+        windows[name] = w
+    return out, windows
 
 
 def main() -> None:
@@ -237,30 +303,11 @@ def main() -> None:
     spark = get_spark(app_name="graph-engine-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    attempts_log = []
-    chosen = None
-    for attempt in range(1, MAX_ATTEMPTS + 1):
-        p0 = cpu_probe()
-        pipeline_q, detail = run_pipeline(spark)
-        p1 = cpu_probe()
-        op_q = run_operator_queries(spark)
-        p2 = cpu_probe()
-        probes = [p0, p1, p2]
-        shift = (max(probes) - min(probes)) / max(min(probes), 1.0)
-        accepted = shift <= PROBE_TOLERANCE
-        attempts_log.append(
-            {
-                "attempt": attempt,
-                "cpu_probes": [round(p, 0) for p in probes],
-                "probe_shift": round(shift, 4),
-                "accepted": accepted,
-            }
-        )
-        chosen = (pipeline_q, op_q, detail, accepted)
-        if accepted:
-            break
+    pipeline_q, detail, pipe_windows = run_pipeline(spark)
+    op_q, op_windows = run_operator_queries(spark)
 
-    pipeline_q, op_q, detail, accepted = chosen
+    all_windows = {**pipe_windows, **op_windows}
+    accepted_names = [k for k, w in all_windows.items() if w["accepted"]]
     queries = {**pipeline_q, **op_q}
     total = round(sum(queries.values()), 3)
     result = {
@@ -271,15 +318,19 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("/")[-1],
         "detail": detail,
         "window": {
-            "accepted": accepted,
+            "accepted": len(accepted_names) == len(all_windows),
+            "accepted_count": len(accepted_names),
+            "bracket_count": len(all_windows),
             "probe_tolerance": PROBE_TOLERANCE,
             "operator_query_reps": QUERY_REPS,
-            "attempts": attempts_log,
+            "pipeline": pipe_windows,
+            "queries": op_windows,
             "note": (
-                "accepted=false means every attempt's CPU probes "
-                "disagreed beyond tolerance — the host was reallocating "
-                "CPU mid-run and these times are an upper bound, not a "
-                "measurement"
+                "each stage/query is probe-bracketed independently (the "
+                "host's deliverable CPU is only stationary for ~minutes); "
+                "a bracket with accepted=false means its probes disagreed "
+                "beyond tolerance on every attempt — that entry's time is "
+                "an upper bound on the engine, not a measurement of it"
             ),
         },
     }

@@ -1,0 +1,126 @@
+"""REST endpoints over graph state — reference graph_core/api.py:38-58.
+
+The reference wraps its storage in a FastAPI app exposing exactly two
+routes: ``GET /graph/nodes`` and ``GET /graph/edges``, each returning
+the storage dicts verbatim. This is the same surface on the stdlib
+``http.server`` (no web framework in the sandbox; the handler is a thin
+``df.collect()`` + reference-shape field mapping — SURVEY.md §3.3), so
+a reference client can point at the engine unchanged.
+
+Scale posture: a serving endpoint that materializes the whole graph is
+only sane for the reference's interactive use case (its storage is one
+process anyway). Both routes accept ``?limit=&offset=`` to bound the
+driver collect; at corpus scale a real deployment would page through
+the Parquet/Iceberg state directly rather than proxy through the
+driver, and this layer is explicitly NOT in any hot path (nothing in
+the engine imports it).
+
+Rows are ordered deterministically (id / (source, target, type)) so
+pagination is stable across requests against the same state.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import functions as F
+
+from graph_engine_spark.storage.jsonio import edge_row_to_doc, node_row_to_doc
+
+
+class GraphRestServer:
+    """Serve a GraphState's nodes/edges as the reference's REST routes.
+
+    Usage::
+
+        srv = GraphRestServer(state)      # port=0 → ephemeral port
+        port = srv.start()
+        ... GET http://127.0.0.1:{port}/graph/nodes ...
+        srv.stop()
+    """
+
+    def __init__(self, state, host: str = "127.0.0.1", port: int = 0):
+        self._state = state
+        self._host = host
+        self._port = port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # --- request plumbing -------------------------------------------
+    def _rows(self, kind: str, limit: int | None, offset: int):
+        if kind == "nodes":
+            df = self._state.nodes.orderBy(F.asc("id"))
+            mapper = node_row_to_doc
+        else:
+            df = self._state.edges.orderBy(
+                F.asc("src"), F.asc("dst"), F.asc("edge_type")
+            )
+            mapper = edge_row_to_doc
+        if offset:
+            # offset via a skip-count window would shuffle; for the
+            # serving shim a driver-side slice of the (already bounded
+            # by limit+offset) collect is the simple correct form
+            df = df.limit(offset + limit) if limit is not None else df
+        elif limit is not None:
+            df = df.limit(limit)
+        rows = df.collect()
+        if offset:
+            rows = rows[offset:]
+        return [mapper(r) for r in rows]
+
+    def _make_handler(self):
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet test output
+                pass
+
+            def do_GET(self):
+                parsed = urlparse(self.path)
+                q = parse_qs(parsed.query)
+                try:
+                    limit = int(q["limit"][0]) if "limit" in q else None
+                    offset = int(q.get("offset", ["0"])[0])
+                except ValueError:
+                    self._reply(400, {"error": "limit/offset must be integers"})
+                    return
+                if parsed.path == "/graph/nodes":
+                    self._reply(200, outer._rows("nodes", limit, offset))
+                elif parsed.path == "/graph/edges":
+                    self._reply(200, outer._rows("edges", limit, offset))
+                else:
+                    self._reply(404, {"error": f"unknown path {parsed.path}"})
+
+            def _reply(self, code: int, payload):
+                body = json.dumps(payload).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        return Handler
+
+    # --- lifecycle ---------------------------------------------------
+    def start(self) -> int:
+        """Start serving on a daemon thread; returns the bound port."""
+        self._httpd = ThreadingHTTPServer(
+            (self._host, self._port), self._make_handler()
+        )
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None

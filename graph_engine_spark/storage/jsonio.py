@@ -110,6 +110,49 @@ def _edge_id(src: str, dst: str, edge_type: str) -> str:
     return f"{edge_type}:{h}"
 
 
+def node_row_to_doc(r) -> dict:
+    """Engine node Row → reference node dict (field mapping in the
+    module docstring). Shared by the JSON snapshot export and the REST
+    serving layer (api.py:38-47 returns exactly these dicts)."""
+    return _clean(
+        {
+            "id": r["id"],
+            "type": r["type"],
+            "name": r["name"],
+            "filepath": r["path"],
+            "start_line": r["start_line"],
+            "end_line": r["end_line"],
+            "files": list(r["files"]) if r["files"] else None,
+            "parameters": list(r["params"]) if r["params"] else None,
+            "dynamic_call_count": r["dynamic_call_count"],
+            "rename_history": [
+                {"old_path": h["old_path"], "new_path": h["new_path"], "ts": h["ts"]}
+                for h in r["rename_history"]
+            ]
+            if "rename_history" in r.__fields__ and r["rename_history"]
+            else None,
+        }
+    )
+
+
+def edge_row_to_doc(r) -> dict:
+    """Engine edge Row → reference edge dict (source/target/type plus
+    dynamic annotations; deterministic sha-derived id)."""
+    return _clean(
+        {
+            "source": r["src"],
+            "target": r["dst"],
+            "type": r["edge_type"],
+            "id": _edge_id(r["src"], r["dst"], r["edge_type"]),
+            "file": r["path"],
+            "dynamic": r["dynamic"],
+            "dynamic_call_count": r["dynamic_call_count"],
+            "first_call_time": r["first_call_time"],
+            "last_call_time": r["last_call_time"],
+        }
+    )
+
+
 def export_reference_json(state, json_path: str) -> None:
     """Write GraphState as a reference-compatible
     ``{nodes, edges, file_nodes}`` document (atomic tmp + replace)."""
@@ -117,45 +160,11 @@ def export_reference_json(state, json_path: str) -> None:
     edges = state.edges.collect()
     data = {"nodes": [], "edges": [], "file_nodes": {}}
     for r in nodes:
-        data["nodes"].append(
-            _clean(
-                {
-                    "id": r["id"],
-                    "type": r["type"],
-                    "name": r["name"],
-                    "filepath": r["path"],
-                    "start_line": r["start_line"],
-                    "end_line": r["end_line"],
-                    "files": list(r["files"]) if r["files"] else None,
-                    "parameters": list(r["params"]) if r["params"] else None,
-                    "dynamic_call_count": r["dynamic_call_count"],
-                    "rename_history": [
-                        {"old_path": h["old_path"], "new_path": h["new_path"], "ts": h["ts"]}
-                        for h in r["rename_history"]
-                    ]
-                    if "rename_history" in r.__fields__ and r["rename_history"]
-                    else None,
-                }
-            )
-        )
+        data["nodes"].append(node_row_to_doc(r))
         for fpath in r["files"] or []:
             data["file_nodes"].setdefault(fpath, []).append(r["id"])
     for r in edges:
-        data["edges"].append(
-            _clean(
-                {
-                    "source": r["src"],
-                    "target": r["dst"],
-                    "type": r["edge_type"],
-                    "id": _edge_id(r["src"], r["dst"], r["edge_type"]),
-                    "file": r["path"],
-                    "dynamic": r["dynamic"],
-                    "dynamic_call_count": r["dynamic_call_count"],
-                    "first_call_time": r["first_call_time"],
-                    "last_call_time": r["last_call_time"],
-                }
-            )
-        )
+        data["edges"].append(edge_row_to_doc(r))
     for fpath in data["file_nodes"]:
         data["file_nodes"][fpath] = sorted(data["file_nodes"][fpath])
 

@@ -1,0 +1,91 @@
+"""REST serving layer — reference graph_core/api.py:38-58 parity.
+
+The reference exposes GET /graph/nodes and GET /graph/edges returning
+its storage dicts. These tests stand the stdlib-http server up on an
+ephemeral port over real extracted state and assert the same document
+shape the JSON snapshot export uses (shared row→doc mapping).
+"""
+
+import json
+import urllib.error
+import urllib.request
+
+from graph_engine_spark.serving.rest import GraphRestServer
+from graph_engine_spark.streaming.maintenance import apply_upserts, empty_state
+
+SRC = (
+    "import os\n\n"
+    "def top(x):\n    return helper(x)\n\n"
+    "def helper(y):\n    return y\n"
+)
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=30) as r:
+        return r.status, json.loads(r.read().decode())
+
+
+def _corpus(spark, files):
+    return spark.createDataFrame(
+        [("r", p, "c1", "python", c) for p, c in files],
+        "repo string, path string, commit string, lang string, content string",
+    )
+
+
+def test_rest_nodes_and_edges_reference_shape(spark):
+    state = empty_state(spark)
+    state = apply_upserts(state, _corpus(spark, [("a.py", SRC)]))
+    srv = GraphRestServer(state)
+    port = srv.start()
+    try:
+        code, nodes = _get(port, "/graph/nodes")
+        assert code == 200
+        by_id = {n["id"]: n for n in nodes}
+        assert set(by_id) == {
+            r["id"] for r in state.nodes.select("id").collect()
+        }
+        # reference field names: filepath (not path), parameters (not params)
+        fn = by_id["function:top"]
+        assert fn["filepath"] == "a.py" and fn["parameters"] == ["x"]
+        assert "path" not in fn and "params" not in fn
+        code, edges = _get(port, "/graph/edges")
+        assert code == 200
+        triples = {(e["source"], e["target"], e["type"]) for e in edges}
+        assert ("function:top", "function:helper", "calls") in triples
+        assert ("file:a.py", "import:os", "imports") in triples
+        # every edge carries the deterministic sha-derived id
+        assert all(e["id"].startswith(e["type"] + ":") for e in edges)
+    finally:
+        srv.stop()
+
+
+def test_rest_pagination_and_errors(spark):
+    state = empty_state(spark)
+    files = [(f"m{i}.py", f"def f{i}():\n    return {i}\n") for i in range(6)]
+    state = apply_upserts(state, _corpus(spark, files))
+    total = state.nodes.count()
+    srv = GraphRestServer(state)
+    port = srv.start()
+    try:
+        _, page1 = _get(port, "/graph/nodes?limit=5")
+        _, page2 = _get(port, "/graph/nodes?limit=5&offset=5")
+        assert len(page1) == 5
+        assert len(page2) == min(5, total - 5)
+        assert not {n["id"] for n in page1} & {n["id"] for n in page2}
+        # deterministic order: concatenated pages == full sorted listing
+        _, full = _get(port, f"/graph/nodes?limit={total}")
+        assert [n["id"] for n in (page1 + page2)] == [n["id"] for n in full[:10]]
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=30)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/graph/nodes?limit=x", timeout=30
+            )
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
