@@ -13,15 +13,18 @@ throttled host window and recorded 5-60× phantom regressions; the
 round-3 whole-run bracket then showed the host's deliverable CPU is
 only stationary for ~minutes, far shorter than a full bench): every
 measurement is bracketed at the FINEST useful granularity — each
-operator query's rep-set and each pipeline stage gets its own pair of
-single-threaded CPU probes, is re-run up to MAX_ATTEMPTS times if its
-probes disagree beyond PROBE_TOLERANCE, and carries its own
-accepted/probe_shift record in `window.queries` / `window.pipeline`.
-Operator queries report the MEDIAN of QUERY_REPS repetitions. The
-headline `window.accepted` is true only if every bracket accepted; a
-rejected bracket's time is an upper bound on the engine, not a
-measurement of it — and is labeled as such, so the record can never
-silently masquerade as valid.
+pipeline stage gets its own pair of single-threaded CPU probes
+(re-run up to MAX_ATTEMPTS times if the probes disagree beyond
+PROBE_TOLERANCE), and each operator query is bracketed PER REP,
+reporting the median of the accepted reps (round-3 fix: whole-rep-set
+brackets of long queries were the most likely to straddle a wobble).
+
+OUTPUT CONTRACT (round-3 fix): stdout carries exactly ONE compact
+JSON line — metric/value/unit/queries/sf/detail/window_summary, kept
+under ~1900 chars so the driver's tail capture can always parse it.
+The full per-bracket probe record is written to BENCH_WINDOWS.json
+next to this file. A bracket with accepted=false is an upper bound on
+the engine, not a measurement of it — labeled as such in the record.
 """
 
 from __future__ import annotations
@@ -201,6 +204,25 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     )
     queries["label_propagation_5it"] = round(t_lpa, 3)
 
+    # durable-checkpoint overhead for CC and LPA at bench scale (north
+    # rule: all three loop algorithms resume from Parquet checkpoints —
+    # pagerank got its line in round 3, these close VERDICT r3 item 8)
+    def _cc_ck():
+        with tempfile.TemporaryDirectory(prefix="bench_ckcc_") as ckdir:
+            ck = CheckpointManager(ckdir, every_k=2, keep_last=1)
+            r = connected_components(mg, checkpoint=ck)
+            return r.components.count()
+
+    t_cc_ck, _ = stage("cc_checkpointed", _cc_ck, attempts=1)
+
+    def _lpa_ck():
+        with tempfile.TemporaryDirectory(prefix="bench_cklpa_") as ckdir:
+            ck = CheckpointManager(ckdir, every_k=2, keep_last=1)
+            r = label_propagation(mg, max_iter=5, checkpoint=ck)
+            return r.labels.count()
+
+    t_lpa_ck, _ = stage("lpa_checkpointed_5it", _lpa_ck, attempts=1)
+
     t_tri, tri = stage("triangle_count", lambda: triangle_count(mg))
     queries["triangle_count"] = round(t_tri, 3)
     mg.unpersist()  # last consumer of the link graph (leak fix, ADVICE r2)
@@ -224,14 +246,23 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
         "unsalted_6steps_sec": round(t_plain6, 3),
         "checkpointed_6steps_sec": round(t_ck6, 3),
         "checkpoint_overhead_per_superstep_sec": round((t_ck6 - t_plain6) / 6, 3),
+        "cc_checkpointed_sec": round(t_cc_ck, 3),
+        "cc_checkpoint_overhead_sec": round(t_cc_ck - t_cc, 3),
+        "lpa_checkpointed_5it_sec": round(t_lpa_ck, 3),
+        "lpa_checkpoint_overhead_sec": round(t_lpa_ck - t_lpa, 3),
     }
     return queries, detail, windows
 
 
 def run_operator_queries(spark, reps: int = QUERY_REPS) -> tuple[dict, dict]:
-    """Operator queries over the driver tables: median of `reps`
-    end-to-end (plan + execute + collect) runs per query, each query's
-    rep-set probe-bracketed and re-run on a rejected bracket."""
+    """Operator queries over the driver tables: `reps` end-to-end
+    (plan + execute + collect) runs per query, EACH REP inside its own
+    probe bracket; the reported time is the median of the accepted
+    reps. Round-3 lesson (VERDICT #3): bracketing the whole rep-set of
+    a long query makes its window the most likely to straddle a host
+    wobble — three rejected attempts of a 3-rep set is 9 expensive runs
+    with nothing to show. Per-rep brackets are short, and one wobbled
+    rep no longer rejects the query's whole measurement."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
@@ -289,11 +320,21 @@ def run_operator_queries(spark, reps: int = QUERY_REPS) -> tuple[dict, dict]:
     out: dict[str, float] = {}
     windows: dict[str, dict] = {}
     for name in (*OPERATOR_QUERIES, "minhash_lsh_xxhash64", "winnowing", "winnowing_1mb_doc"):
-        med, w = bracketed(
-            lambda name=name: statistics.median(one_rep(name) for _ in range(reps))
-        )
-        out[name] = round(med, 3)
-        windows[name] = w
+        times: list[float] = []
+        rep_brackets: list[dict] = []
+        for _ in range(reps):
+            t, w = bracketed(lambda name=name: one_rep(name), max_attempts=1)
+            times.append(t)
+            rep_brackets.append(w)
+        accepted = [t for t, w in zip(times, rep_brackets) if w["accepted"]]
+        out[name] = round(statistics.median(accepted if accepted else times), 3)
+        windows[name] = {
+            "accepted": bool(accepted),
+            "reps": reps,
+            "accepted_reps": len(accepted),
+            "rep_times": [round(t, 3) for t in times],
+            "rep_brackets": rep_brackets,
+        }
     return out, windows
 
 
@@ -310,6 +351,33 @@ def main() -> None:
     accepted_names = [k for k, w in all_windows.items() if w["accepted"]]
     queries = {**pipeline_q, **op_q}
     total = round(sum(queries.values()), 3)
+
+    # Full per-bracket probe record → side file. Round-3 lesson
+    # (VERDICT #1): embedding every probe bracket in the printed line
+    # pushed it past the driver's ~2000-char tail capture, so BENCH_r03
+    # recorded parsed:null. The printed line stays compact; the side
+    # file carries the evidence.
+    windows_record = {
+        "probe_tolerance": PROBE_TOLERANCE,
+        "operator_query_reps": QUERY_REPS,
+        "accepted": len(accepted_names) == len(all_windows),
+        "rejected": sorted(k for k in all_windows if k not in accepted_names),
+        "pipeline": pipe_windows,
+        "queries": op_windows,
+        "note": (
+            "each pipeline stage is probe-bracketed as a whole; each "
+            "operator query is bracketed PER REP and reports the median "
+            "of accepted reps (the host's deliverable CPU is only "
+            "stationary for ~minutes — short per-rep windows survive "
+            "wobbles that rejected whole rep-sets in rounds 2-3). An "
+            "entry with accepted=false has no accepted window: its time "
+            "is an upper bound on the engine, not a measurement of it."
+        ),
+    }
+    side_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_WINDOWS.json")
+    with open(side_path, "w") as f:
+        json.dump(windows_record, f, indent=1)
+
     result = {
         "metric": "e2e_link_graph_pipeline_sec",
         "value": total,
@@ -317,24 +385,22 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("/")[-1],
         "detail": detail,
-        "window": {
+        "window_summary": {
             "accepted": len(accepted_names) == len(all_windows),
             "accepted_count": len(accepted_names),
             "bracket_count": len(all_windows),
-            "probe_tolerance": PROBE_TOLERANCE,
-            "operator_query_reps": QUERY_REPS,
-            "pipeline": pipe_windows,
-            "queries": op_windows,
-            "note": (
-                "each stage/query is probe-bracketed independently (the "
-                "host's deliverable CPU is only stationary for ~minutes); "
-                "a bracket with accepted=false means its probes disagreed "
-                "beyond tolerance on every attempt — that entry's time is "
-                "an upper bound on the engine, not a measurement of it"
-            ),
+            "full_record": "BENCH_WINDOWS.json",
         },
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > 1900:  # hard guard on the driver's tail capture
+        result.pop("detail")
+        result["detail_ref"] = "BENCH_WINDOWS.json"
+        windows_record["detail"] = detail
+        with open(side_path, "w") as f:
+            json.dump(windows_record, f, indent=1)
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

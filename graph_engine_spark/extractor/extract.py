@@ -126,30 +126,54 @@ def merge_nodes(nodes: DataFrame) -> DataFrame:
     semantics as the reference's cross-file node merge
     (in_memory.py:57-82). Used by incremental maintenance when freshly
     extracted rows meet surviving rows of the same (non-file-qualified)
-    node id."""
+    node id.
+
+    rename_history (when the input carries the column) survives the
+    merge — the reference keeps node['rename_history'] across updates
+    (manager.py:499-507), so an upsert to an unrelated file must not
+    wipe the audit trail. The explode duplicates each row's history
+    once per file; flatten + array_distinct collapses those exact
+    copies back to the original sequence (entries are full structs, so
+    only genuinely identical rename events dedup)."""
+    has_hist = "rename_history" in nodes.columns
     exploded = nodes.select(
         "id", "type", "name", "repo", "path",
         "start_line", "end_line", "content_hash", "params",
+        *(["rename_history"] if has_hist else []),
         F.explode("files").alias("file"),
     )
-    return (
-        exploded.groupBy("id")
-        .agg(
-            F.min("type").alias("type"),
-            F.min("name").alias("name"),
-            F.min("repo").alias("repo"),
-            F.min("path").alias("path"),
-            F.min("start_line").alias("start_line"),
-            F.max("end_line").alias("end_line"),
-            F.array_sort(F.collect_set("file")).alias("files"),
-            F.min("content_hash").alias("content_hash"),
-            F.min("params").alias("params"),
+    aggs = [
+        F.min("type").alias("type"),
+        F.min("name").alias("name"),
+        F.min("repo").alias("repo"),
+        F.min("path").alias("path"),
+        F.min("start_line").alias("start_line"),
+        F.max("end_line").alias("end_line"),
+        F.array_sort(F.collect_set("file")).alias("files"),
+        F.min("content_hash").alias("content_hash"),
+        F.min("params").alias("params"),
+    ]
+    out_cols = [
+        "id", "type", "name", "repo", "path",
+        "start_line", "end_line", "files", "content_hash", "params",
+    ]
+    if has_hist:
+        # collect_list skips null histories; the empty-list result of an
+        # all-null group is normalized back to null to match the schema's
+        # "no renames yet" convention
+        aggs.append(
+            F.array_distinct(F.flatten(F.collect_list("rename_history"))).alias(
+                "_hist"
+            )
         )
-        .select(
-            "id", "type", "name", "repo", "path",
-            "start_line", "end_line", "files", "content_hash", "params",
+        out_cols.append("rename_history")
+    merged = exploded.groupBy("id").agg(*aggs)
+    if has_hist:
+        merged = merged.withColumn(
+            "rename_history",
+            F.when(F.size("_hist") > 0, F.col("_hist")),
         )
-    )
+    return merged.select(*out_cols)
 
 
 def extract_graph(corpus: DataFrame, persist_ir: bool = True, parser: str = "fallback"):

@@ -12,7 +12,10 @@ Scale-first re-expression (SURVEY.md §2.3 "Similarity join"):
     and order-sensitive; Jaccard over distinct tokens is a set
     intersection computable as JVM-side array ops, monotone in the same
     "mostly the same content" signal, thresholded at the reference's
-    0.7 (:212).
+    0.7 (:212). ``similarity="difflib"`` / ``body_similarity="difflib"``
+    opt into the reference's exact SequenceMatcher scores (Arrow-batched
+    UDF over the blocked candidates) where bit-parity matters more than
+    throughput.
   * Blocking: extension equality (the reference's gate) for modest
     windows; ``blocker="minhash"`` swaps in MinHash-LSH candidate
     generation (pipelines/dedup.py) so the pair space stays near-linear
@@ -37,6 +40,7 @@ column expression for callers that carry those three similarity columns.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -60,6 +64,41 @@ def jaccard(a: Column, b: Column) -> Column:
     ).cast("double")
 
 
+def _difflib_ratio_udf(mode: str):
+    """Arrow-batched SequenceMatcher.ratio() — the reference's exact
+    scorer, for callers that need bit-parity with its scores near the
+    0.7 threshold (VERDICT r3 missing-item #3). mode="lines" compares
+    line lists exactly like calculate_similarity's readlines
+    (rename_detection.py:62-69); mode="chars" compares raw strings
+    exactly like the function-body ratio (:151).
+
+    Scale posture: O(len²) per pair and Python-side — this is the
+    OPT-IN parity path, only ever run on the BLOCKED candidate set
+    (post extension/minhash blocking), never corpus². Jaccard stays the
+    default."""
+    import difflib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(0.0)
+            elif mode == "lines":
+                out.append(
+                    difflib.SequenceMatcher(
+                        None, x.splitlines(keepends=True), y.splitlines(keepends=True)
+                    ).ratio()
+                )
+            else:
+                out.append(difflib.SequenceMatcher(None, x, y).ratio())
+        return pd.Series(out, dtype="float64")
+
+    return ratio
+
+
 def similarity_pairs(
     deleted: DataFrame,
     created: DataFrame,
@@ -67,22 +106,40 @@ def similarity_pairs(
     path_col: str = "path",
     text_col: str = "text",
     blocker: str = "extension",
+    similarity: str = "jaccard",
 ) -> DataFrame:
     """(old_path, new_path, similarity) candidate pairs ≥ threshold.
 
     blocker="extension": equi-join on extension (reference gate).
     blocker="minhash": MinHash-LSH candidates (dedup.py) — the 100 TB
     path; extension gate applied after blocking.
+
+    similarity="jaccard" (default): JVM-side token-set Jaccard — the
+    scale path. similarity="difflib": bit-parity with the reference's
+    SequenceMatcher-over-readlines scorer (rename_detection.py:62-69)
+    via an Arrow-batched UDF on the blocked pairs — for replaying
+    reference fixtures / matching its scores near the threshold.
     """
+    use_difflib = similarity == "difflib"
+    sim_cols_old = (
+        [F.col(text_col).alias("text_old")]
+        if use_difflib
+        else [token_set(F.col(text_col)).alias("tok_old")]
+    )
+    sim_cols_new = (
+        [F.col(text_col).alias("text_new")]
+        if use_difflib
+        else [token_set(F.col(text_col)).alias("tok_new")]
+    )
     d = deleted.select(
         F.col(path_col).alias("old_path"),
         _ext(F.col(path_col)).alias("ext"),
-        token_set(F.col(text_col)).alias("tok_old"),
+        *sim_cols_old,
     )
     c = created.select(
         F.col(path_col).alias("new_path"),
         _ext(F.col(path_col)).alias("ext"),
-        token_set(F.col(text_col)).alias("tok_new"),
+        *sim_cols_new,
     )
     if blocker == "minhash":
         from graph_engine_spark.pipelines.dedup import minhash_lsh_candidates
@@ -108,18 +165,25 @@ def similarity_pairs(
             pairs.join(d, "old_path")
             .join(c.withColumnRenamed("ext", "ext_new"), "new_path")
             .filter(F.col("ext") == F.col("ext_new"))
-            .select("old_path", "new_path", "tok_old", "tok_new")
+            .select("old_path", "new_path", *sim_pair_cols(use_difflib))
         )
     else:
-        blocked = d.join(c, "ext").select("old_path", "new_path", "tok_old", "tok_new")
-    return (
-        blocked.select(
-            "old_path",
-            "new_path",
-            jaccard(F.col("tok_old"), F.col("tok_new")).alias("similarity"),
+        blocked = d.join(c, "ext").select(
+            "old_path", "new_path", *sim_pair_cols(use_difflib)
         )
+    score = (
+        _difflib_ratio_udf("lines")(F.col("text_old"), F.col("text_new"))
+        if use_difflib
+        else jaccard(F.col("tok_old"), F.col("tok_new"))
+    )
+    return (
+        blocked.select("old_path", "new_path", score.alias("similarity"))
         .filter(F.col("similarity") >= threshold)
     )
+
+
+def sim_pair_cols(use_difflib: bool) -> list[str]:
+    return ["text_old", "text_new"] if use_difflib else ["tok_old", "tok_new"]
 
 
 def detect_renames(
@@ -129,6 +193,7 @@ def detect_renames(
     path_col: str = "path",
     text_col: str = "text",
     blocker: str = "extension",
+    similarity: str = "jaccard",
 ) -> DataFrame:
     """1:1 rename assignments (old_path, new_path, similarity).
 
@@ -140,7 +205,9 @@ def detect_renames(
     the best among that old path's SURVIVING claimants — not necessarily
     the old path's best over the full candidate set (true mutual-best
     would drop such chained-conflict pairs instead of keeping them)."""
-    pairs = similarity_pairs(deleted, created, threshold, path_col, text_col, blocker)
+    pairs = similarity_pairs(
+        deleted, created, threshold, path_col, text_col, blocker, similarity
+    )
     return resolve_pairs(pairs)
 
 
@@ -182,6 +249,7 @@ def match_function_renames(
     body_col: str = "body",
     lines_col: str = "n_lines",
     params_col: str = "n_params",
+    body_similarity: str = "jaccard",
 ) -> DataFrame:
     """Function-rename matching (reference rename_detection.py:84-207).
 
@@ -201,7 +269,10 @@ def match_function_renames(
         reference's difflib.SequenceMatcher ratio (:151) — the same
         documented deviation as file renames (O(len²) and
         order-sensitive vs JVM-side array intersection); 0.0 when
-        either body is empty (:150-153);
+        either body is empty (:150-153). ``body_similarity="difflib"``
+        opts into the reference's exact SequenceMatcher ratio on the
+        raw body strings (Arrow-batched UDF over the file-blocked
+        candidates) for bit-parity with its scores;
       * line-count similarity 1/(1+|Δlines|) (:156-157), parameter-count
         similarity 1/(1+|Δparams|) when both sides carry a parameter
         list, else 0.0 (:160-167);
@@ -240,6 +311,11 @@ def match_function_renames(
         & F.col("new_body").isNotNull()
         & (F.length("new_body") > 0)
     )
+    body_score = (
+        _difflib_ratio_udf("chars")(F.col("old_body"), F.col("new_body"))
+        if body_similarity == "difflib"
+        else jaccard(F.col("tok_old"), F.col("tok_new"))
+    )
     scored = (
         o.join(n, "path")
         .filter(F.col("old_name") != F.col("new_name"))
@@ -247,7 +323,7 @@ def match_function_renames(
             "path",
             "old_id",
             "new_id",
-            F.when(both_bodies, jaccard(F.col("tok_old"), F.col("tok_new")))
+            F.when(both_bodies, body_score)
             .otherwise(F.lit(0.0))
             .alias("body_sim"),
             (

@@ -42,15 +42,27 @@ class GraphRestServer:
         srv.stop()
     """
 
-    def __init__(self, state, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        state,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        default_limit: int = 1000,
+        max_limit: int = 10000,
+    ):
         self._state = state
         self._host = host
         self._port = port
+        # every request is bounded: an argless GET pages default_limit
+        # rows, and no request — whatever limit/offset it claims — can
+        # pull more than max_limit + offset rows through the driver
+        self._default_limit = default_limit
+        self._max_limit = max_limit
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
     # --- request plumbing -------------------------------------------
-    def _rows(self, kind: str, limit: int | None, offset: int):
+    def _rows(self, kind: str, limit: int, offset: int):
         if kind == "nodes":
             df = self._state.nodes.orderBy(F.asc("id"))
             mapper = node_row_to_doc
@@ -59,14 +71,10 @@ class GraphRestServer:
                 F.asc("src"), F.asc("dst"), F.asc("edge_type")
             )
             mapper = edge_row_to_doc
-        if offset:
-            # offset via a skip-count window would shuffle; for the
-            # serving shim a driver-side slice of the (already bounded
-            # by limit+offset) collect is the simple correct form
-            df = df.limit(offset + limit) if limit is not None else df
-        elif limit is not None:
-            df = df.limit(limit)
-        rows = df.collect()
+        # offset via a skip-count window would shuffle; for the serving
+        # shim a driver-side slice of the (bounded by limit+offset)
+        # collect is the simple correct form
+        rows = df.limit(offset + limit).collect()
         if offset:
             rows = rows[offset:]
         return [mapper(r) for r in rows]
@@ -82,17 +90,27 @@ class GraphRestServer:
                 parsed = urlparse(self.path)
                 q = parse_qs(parsed.query)
                 try:
-                    limit = int(q["limit"][0]) if "limit" in q else None
+                    limit = (
+                        int(q["limit"][0])
+                        if "limit" in q
+                        else outer._default_limit
+                    )
                     offset = int(q.get("offset", ["0"])[0])
                 except ValueError:
                     self._reply(400, {"error": "limit/offset must be integers"})
                     return
-                if parsed.path == "/graph/nodes":
-                    self._reply(200, outer._rows("nodes", limit, offset))
-                elif parsed.path == "/graph/edges":
-                    self._reply(200, outer._rows("edges", limit, offset))
-                else:
+                if limit < 0 or offset < 0:
+                    self._reply(400, {"error": "limit/offset must be >= 0"})
+                    return
+                limit = min(limit, outer._max_limit)
+                if parsed.path not in ("/graph/nodes", "/graph/edges"):
                     self._reply(404, {"error": f"unknown path {parsed.path}"})
+                    return
+                kind = parsed.path.rsplit("/", 1)[1]
+                try:
+                    self._reply(200, outer._rows(kind, limit, offset))
+                except Exception as e:  # surface as HTTP, not a dropped conn
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
             def _reply(self, code: int, payload):
                 body = json.dumps(payload).encode("utf-8")

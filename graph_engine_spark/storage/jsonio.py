@@ -10,7 +10,12 @@ back to a reference deployment.
 
 Field mapping (reference → engine):
   node:  filepath → path; id/type/name/start_line/end_line/files as-is;
-         dynamic_call_count carried when present.
+         dynamic_call_count carried when present. rename_history is
+         accepted in BOTH shapes — the reference's plain old_path
+         strings (manager.py:501-503) and this engine's richer
+         {old_path, new_path, ts} structs — and exported as strings by
+         default for reference parity (rich_rename_history=True opts
+         into the struct extension).
   edge:  source/target/type → src/dst/edge_type; file → path;
          dynamic, dynamic_call_count, first_call_time, last_call_time
          carried when present. The reference's per-edge uuid ``id``
@@ -63,9 +68,14 @@ def import_reference_json(spark, json_path: str):
                 n.get("content_hash"),
                 list(n["parameters"]) if n.get("parameters") else None,
                 n.get("dynamic_call_count"),
-                # rename_history structs (manager.py:499-507) when present
+                # rename_history (manager.py:499-507): the reference
+                # appends plain old_path STRINGS (manager.py:501-503);
+                # our export can also emit the richer struct form —
+                # accept both shapes here
                 [
-                    (h.get("old_path"), h.get("new_path"), h.get("ts"))
+                    (h, None, None)
+                    if isinstance(h, str)
+                    else (h.get("old_path"), h.get("new_path"), h.get("ts"))
                     for h in n["rename_history"]
                 ]
                 if n.get("rename_history")
@@ -110,10 +120,27 @@ def _edge_id(src: str, dst: str, edge_type: str) -> str:
     return f"{edge_type}:{h}"
 
 
-def node_row_to_doc(r) -> dict:
+def node_row_to_doc(r, rich_rename_history: bool = False) -> dict:
     """Engine node Row → reference node dict (field mapping in the
     module docstring). Shared by the JSON snapshot export and the REST
-    serving layer (api.py:38-47 returns exactly these dicts)."""
+    serving layer (api.py:38-47 returns exactly these dicts).
+
+    rename_history parity: the reference stores a list of plain
+    old_path STRINGS (manager.py:501-503), so that is the default
+    emitted shape. ``rich_rename_history=True`` opts into this engine's
+    extension — ``[{old_path, new_path, ts}]`` structs — which
+    ``import_reference_json`` also accepts."""
+    if "rename_history" in r.__fields__ and r["rename_history"]:
+        hist = (
+            [
+                {"old_path": h["old_path"], "new_path": h["new_path"], "ts": h["ts"]}
+                for h in r["rename_history"]
+            ]
+            if rich_rename_history
+            else [h["old_path"] for h in r["rename_history"]]
+        )
+    else:
+        hist = None
     return _clean(
         {
             "id": r["id"],
@@ -125,12 +152,7 @@ def node_row_to_doc(r) -> dict:
             "files": list(r["files"]) if r["files"] else None,
             "parameters": list(r["params"]) if r["params"] else None,
             "dynamic_call_count": r["dynamic_call_count"],
-            "rename_history": [
-                {"old_path": h["old_path"], "new_path": h["new_path"], "ts": h["ts"]}
-                for h in r["rename_history"]
-            ]
-            if "rename_history" in r.__fields__ and r["rename_history"]
-            else None,
+            "rename_history": hist,
         }
     )
 
@@ -153,14 +175,18 @@ def edge_row_to_doc(r) -> dict:
     )
 
 
-def export_reference_json(state, json_path: str) -> None:
+def export_reference_json(
+    state, json_path: str, rich_rename_history: bool = False
+) -> None:
     """Write GraphState as a reference-compatible
-    ``{nodes, edges, file_nodes}`` document (atomic tmp + replace)."""
+    ``{nodes, edges, file_nodes}`` document (atomic tmp + replace).
+    ``rename_history`` is emitted as the reference's list of old_path
+    strings unless ``rich_rename_history=True`` (see node_row_to_doc)."""
     nodes = state.nodes.collect()
     edges = state.edges.collect()
     data = {"nodes": [], "edges": [], "file_nodes": {}}
     for r in nodes:
-        data["nodes"].append(node_row_to_doc(r))
+        data["nodes"].append(node_row_to_doc(r, rich_rename_history))
         for fpath in r["files"] or []:
             data["file_nodes"].setdefault(fpath, []).append(r["id"])
     for r in edges:

@@ -23,12 +23,10 @@ the streaming wiring below.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from graph_engine_spark.extractor import extract_graph
 
 
 @dataclass
@@ -36,6 +34,21 @@ class GraphState:
     nodes: DataFrame
     edges: DataFrame
     file_hashes: DataFrame  # (path, content_hash)
+    # batch-scoped cached frames backing this state (the extraction IR
+    # and the persisted nodes/edges/hashes). Dropping the Python
+    # references does NOT unpersist — a long-lived stream must call
+    # release() (persist_state_version does) once the state is re-rooted
+    # on durable storage, or the session CacheManager grows per
+    # micro-batch (round-3 VERDICT finding #2).
+    persisted: tuple = field(default=(), repr=False)
+
+    def release(self) -> None:
+        """Unpersist the batch-scoped frames backing this state. Call
+        only after the state is re-rooted on durable storage (or fully
+        consumed) — the frames' lineage recomputes if re-read."""
+        for df in self.persisted:
+            df.unpersist()
+        self.persisted = ()
 
 
 def empty_state(spark) -> GraphState:
@@ -93,7 +106,16 @@ def apply_upserts(state: GraphState, batch: DataFrame) -> GraphState:
     (delete-then-insert per file partition). Here: anti-join + union.
     """
     changed = _changed_only(batch, state.file_hashes)
-    new_nodes, new_edges = extract_graph(changed)
+    # extract via the IR directly (not extract_graph) so the persisted
+    # IR handle can be released with the state (leak fix, VERDICT r3 #2)
+    from graph_engine_spark.extractor.extract import (
+        dedupe_edges,
+        dedupe_nodes,
+        extract_ir,
+    )
+
+    ir = extract_ir(changed).persist()
+    new_nodes, new_edges = dedupe_nodes(ir), dedupe_edges(ir)
     paths = changed.select("path").distinct()
 
     # Node rows are keyed by id and may be defined by several files
@@ -127,7 +149,7 @@ def apply_upserts(state: GraphState, batch: DataFrame) -> GraphState:
         .unionByName(new_hashes)
         .persist()
     )
-    return GraphState(nodes, edges, hashes)
+    return GraphState(nodes, edges, hashes, persisted=(ir, nodes, edges, hashes))
 
 
 def apply_deletes(state: GraphState, deleted_paths: DataFrame) -> GraphState:
@@ -161,7 +183,7 @@ def apply_deletes(state: GraphState, deleted_paths: DataFrame) -> GraphState:
     )
     edges = state.edges.join(p, "path", "left_anti")
     hashes = state.file_hashes.join(p, "path", "left_anti")
-    return GraphState(nodes, edges, hashes)
+    return GraphState(nodes, edges, hashes, persisted=state.persisted)
 
 
 def merge_dynamic_calls(state: GraphState, totals: DataFrame) -> GraphState:
@@ -261,7 +283,37 @@ def merge_dynamic_calls(state: GraphState, totals: DataFrame) -> GraphState:
         )
         .drop("_node_cnt")
     )
-    return GraphState(new_nodes, new_edges, state.file_hashes)
+    return GraphState(new_nodes, new_edges, state.file_hashes, persisted=state.persisted)
+
+
+def persist_state_version(spark, new_state: GraphState, state_dir: str, batch_id: int) -> GraphState:
+    """Write a state version to durable storage, publish the LATEST
+    pointer atomically, and return the state re-rooted on the written
+    Parquet (an Iceberg snapshot commit off-sandbox — the atomic
+    tmp+publish role of the reference's snapshot write,
+    json_storage.py:217-224).
+
+    Releases the batch-scoped cached frames AFTER the write consumes
+    them: without this, every micro-batch of a long-lived stream leaves
+    ~4 new entries in the session CacheManager forever (round-3 VERDICT
+    finding #2 — the same leak class as the round-2 minhash fix)."""
+    vdir = f"{state_dir}/v{batch_id:06d}"
+    new_state.nodes.write.mode("overwrite").parquet(f"{vdir}/nodes")
+    new_state.edges.write.mode("overwrite").parquet(f"{vdir}/edges")
+    new_state.file_hashes.write.mode("overwrite").parquet(f"{vdir}/hashes")
+    reloaded = GraphState(
+        nodes=spark.read.parquet(f"{vdir}/nodes"),
+        edges=spark.read.parquet(f"{vdir}/edges"),
+        file_hashes=spark.read.parquet(f"{vdir}/hashes"),
+    )
+    new_state.release()
+    import os
+
+    tmp = f"{state_dir}/LATEST.tmp"
+    with open(tmp, "w") as f:
+        f.write(vdir)
+    os.replace(tmp, f"{state_dir}/LATEST")
+    return reloaded
 
 
 def start_streaming_maintenance(
@@ -280,27 +332,10 @@ def start_streaming_maintenance(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         # A micro-batch DataFrame is only valid inside its batch, so the
-        # carried state must be re-rooted on durable storage each batch:
-        # write the new state to a versioned dir (an Iceberg snapshot
-        # commit off-sandbox) and reload — the atomic tmp+publish role
-        # of the reference's snapshot write (json_storage.py:217-224).
-        new_state = apply_upserts(state["s"], batch_df)
-        vdir = f"{state_dir}/v{batch_id:06d}"
-        new_state.nodes.write.mode("overwrite").parquet(f"{vdir}/nodes")
-        new_state.edges.write.mode("overwrite").parquet(f"{vdir}/edges")
-        new_state.file_hashes.write.mode("overwrite").parquet(f"{vdir}/hashes")
-        state["s"] = GraphState(
-            nodes=spark.read.parquet(f"{vdir}/nodes"),
-            edges=spark.read.parquet(f"{vdir}/edges"),
-            file_hashes=spark.read.parquet(f"{vdir}/hashes"),
+        # carried state must be re-rooted on durable storage each batch.
+        state["s"] = persist_state_version(
+            spark, apply_upserts(state["s"], batch_df), state_dir, batch_id
         )
-        # publish the latest pointer atomically
-        import os
-
-        tmp = f"{state_dir}/LATEST.tmp"
-        with open(tmp, "w") as f:
-            f.write(vdir)
-        os.replace(tmp, f"{state_dir}/LATEST")
 
     stream = (
         spark.readStream.schema(CORPUS_SCHEMA)

@@ -106,3 +106,68 @@ def test_export_import_round_trip_from_extraction(spark, tmp_path):
     orig_edges = {(r["src"], r["dst"], r["edge_type"]) for r in state.edges.collect()}
     back_edges = {(r["src"], r["dst"], r["edge_type"]) for r in back.edges.collect()}
     assert orig_edges == back_edges
+
+
+def test_rename_history_both_shapes(spark, tmp_path):
+    """The reference appends plain old_path STRINGS to rename_history
+    (reference manager.py:501-503); this engine's extension is
+    {old_path, new_path, ts} structs. Import accepts both; export emits
+    the string shape by default (reference parity) and the struct shape
+    under rich_rename_history=True."""
+    from graph_engine_spark.storage.jsonio import (
+        export_reference_json,
+        import_reference_json,
+    )
+
+    doc = {
+        "nodes": [
+            {
+                "id": "module:a.py",
+                "type": "module",
+                "name": "a.py",
+                "filepath": "a.py",
+                "files": ["a.py"],
+                # genuine reference shape: list of old-path strings
+                "rename_history": ["old_a.py", "older_a.py"],
+            },
+            {
+                "id": "module:b.py",
+                "type": "module",
+                "name": "b.py",
+                "filepath": "b.py",
+                "files": ["b.py"],
+                # this engine's struct extension
+                "rename_history": [
+                    {"old_path": "old_b.py", "new_path": "b.py", "ts": 12.5}
+                ],
+            },
+        ],
+        "edges": [],
+        "file_nodes": {},
+    }
+    p = tmp_path / "ref.json"
+    p.write_text(json.dumps(doc))
+    state = import_reference_json(spark, str(p))
+    hist = {r["id"]: r["rename_history"] for r in state.nodes.collect()}
+    assert [(h["old_path"], h["new_path"], h["ts"]) for h in hist["module:a.py"]] == [
+        ("old_a.py", None, None),
+        ("older_a.py", None, None),
+    ]
+    assert [(h["old_path"], h["new_path"], h["ts"]) for h in hist["module:b.py"]] == [
+        ("old_b.py", "b.py", 12.5)
+    ]
+
+    # default export: reference string shape
+    out = tmp_path / "out.json"
+    export_reference_json(state, str(out))
+    by_id = {n["id"]: n for n in json.loads(out.read_text())["nodes"]}
+    assert by_id["module:a.py"]["rename_history"] == ["old_a.py", "older_a.py"]
+    assert by_id["module:b.py"]["rename_history"] == ["old_b.py"]
+
+    # rich export: struct shape, lossless round-trip
+    rich = tmp_path / "rich.json"
+    export_reference_json(state, str(rich), rich_rename_history=True)
+    by_id = {n["id"]: n for n in json.loads(rich.read_text())["nodes"]}
+    assert by_id["module:b.py"]["rename_history"] == [
+        {"old_path": "old_b.py", "new_path": "b.py", "ts": 12.5}
+    ]

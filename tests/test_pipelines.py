@@ -211,6 +211,9 @@ def test_winnowing_chunked_equals_single_chunk(spark):
     single = fp_sets(10**9)  # everything in chunk 0
     for c in (4, 7, 16, 101):  # boundary-hostile chunk sizes
         assert fp_sets(c) == single, f"chunk_positions={c} diverged"
+
+
+def test_simhash_near_dup_hamming(spark):
     from graph_engine_spark.pipelines.dedup import simhash_table
 
     rows = [

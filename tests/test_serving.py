@@ -89,3 +89,33 @@ def test_rest_pagination_and_errors(spark):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_rest_limit_validation_and_cap(spark):
+    """Hardened request bounds (round-3 ADVICE): negative limit/offset
+    → 400 (not a dropped connection), argless GET pages default_limit
+    rows, and a claimed limit above max_limit is capped — no request
+    shape can collect an unbounded graph through the driver."""
+    state = empty_state(spark)
+    files = [(f"m{i}.py", f"def f{i}():\n    return {i}\n") for i in range(6)]
+    state = apply_upserts(state, _corpus(spark, files))
+    assert state.nodes.count() > 5
+    srv = GraphRestServer(state, default_limit=4, max_limit=5)
+    port = srv.start()
+    try:
+        for q in ("?limit=-1", "?offset=-2", "?limit=-1&offset=0"):
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/graph/nodes{q}", timeout=30
+                )
+                raise AssertionError(f"expected 400 for {q}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        code, rows = _get(port, "/graph/nodes")
+        assert code == 200 and len(rows) == 4
+        code, rows = _get(port, "/graph/nodes?limit=999999")
+        assert code == 200 and len(rows) == 5
+        code, rows = _get(port, "/graph/edges?limit=999999")
+        assert code == 200 and len(rows) == 5
+    finally:
+        srv.stop()

@@ -453,3 +453,63 @@ def test_apply_deletes_large_batch_stays_distributed(spark):
         state2.nodes._jdf.queryExecution(), "simple"
     )
     assert "array_except" not in plan
+
+
+def test_upsert_preserves_rename_history(spark):
+    """An upsert — even to an unrelated file — must not wipe the rename
+    audit trail on surviving nodes: the reference keeps
+    node['rename_history'] across updates (manager.py:499-507), and
+    merge_nodes now carries the column through the per-id re-merge."""
+    import datetime
+
+    from graph_engine_spark.streaming.renames import apply_renames
+
+    state = empty_state(spark)
+    state = apply_upserts(state, corpus_df(spark, [("r", "a.py", FILE_A_V1)]))
+    t1 = datetime.datetime(2026, 8, 17, 12, 0, 0)
+    r1 = spark.createDataFrame(
+        [("a.py", "renamed.py", 1.0, t1)],
+        ["old_path", "new_path", "similarity", "new_ts"],
+    )
+    state = apply_renames(state, r1)
+    # an unrelated file arrives in the next micro-batch
+    state = apply_upserts(state, corpus_df(spark, [("r", "b.py", FILE_B)]))
+
+    # every surviving a.py-lineage node still carries its history —
+    # including function:shared_func, which the upsert re-merged with a
+    # freshly extracted (history-less) b.py row
+    kept = state.nodes.filter(F.array_contains("files", "renamed.py")).collect()
+    assert kept
+    for row in kept:
+        hist = row["rename_history"]
+        assert hist is not None, f"history wiped on {row['id']}"
+        assert [(h["old_path"], h["new_path"]) for h in hist] == [
+            ("a.py", "renamed.py")
+        ]
+    shared = state.nodes.filter(F.col("id") == "function:shared_func").collect()[0]
+    assert sorted(shared["files"]) == ["b.py", "renamed.py"]
+    assert shared["rename_history"] is not None
+    # freshly inserted b.py-only nodes carry none
+    b = state.nodes.filter(F.col("id") == "module:b.py").collect()
+    assert b and b[0]["rename_history"] is None
+
+
+def test_microbatch_cache_is_released(spark, tmp_path):
+    """Round-3 VERDICT finding #2: the session CacheManager must stay
+    FLAT across micro-batches — apply_upserts persists the IR and the
+    three state frames, and persist_state_version must unpersist all of
+    them once the state is re-rooted on Parquet."""
+    from graph_engine_spark.streaming.maintenance import persist_state_version
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    baseline = cache_mgr.cachedData().size()
+    state = empty_state(spark)
+    batches = [("a.py", FILE_A_V1), ("b.py", FILE_B), ("a.py", FILE_A_V2)]
+    for i, (p, c) in enumerate(batches):
+        new_state = apply_upserts(state, corpus_df(spark, [("r", p, c)]))
+        assert cache_mgr.cachedData().size() > baseline  # frames live in-batch
+        state = persist_state_version(spark, new_state, str(tmp_path), i)
+        assert cache_mgr.cachedData().size() == baseline, f"leak after batch {i}"
+    # the re-rooted state is still correct
+    ids = {r["id"] for r in state.nodes.collect()}
+    assert "function:extra" in ids and "import:sys" in ids
