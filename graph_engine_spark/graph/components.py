@@ -189,6 +189,11 @@ def _connected_components(
         return res
 
     converged = False
+    # handle owning the current edge set's cache entry (None when the
+    # state lives in localCheckpoint blocks) — see pagerank.py's
+    # ranks_cached note: unpersist() through a re-rooted frame is a
+    # no-op, so each truncation must release its predecessor explicitly
+    e_cached = e
     while it < max_iter:
         e2 = _small_star(_large_star(e)).persist(StorageLevel.MEMORY_AND_DISK)
         # convergence: both sets are distinct, so equal counts plus an
@@ -198,18 +203,24 @@ def _connected_components(
         e2_count = e2.count()
         changed = e2_count != e_count or not e2.exceptAll(e).isEmpty()
         e_count = e2_count
-        e.unpersist()
+        if e_cached is not None:
+            e_cached.unpersist()
         e = e2
+        e_cached = e2
         it += 1
         if checkpoint is not None and checkpoint.should_checkpoint(it):
             e = checkpoint.save(e, it, {"phase": "cc"}).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
+            e_cached.unpersist()  # state re-rooted on Parquet
+            e_cached = e
         elif it % 2 == 0:
             # truncate iterative lineage: the convergence check references
             # e twice (both exceptAll directions), so plan size doubles
             # per round without truncation (see pagerank.py)
             e = e.localCheckpoint(eager=True)
+            e_cached.unpersist()  # blocks materialized by eager=True
+            e_cached = None
         if not changed:
             converged = True
             break
@@ -220,7 +231,8 @@ def _connected_components(
         verts.join(labels, "id", "left")
         .select("id", F.coalesce("component", "id").alias("component"))
     )
-    e.unpersist()
+    if e_cached is not None:
+        e_cached.unpersist()
     verts.unpersist()
     return ComponentsResult(result, it, converged)
 
@@ -235,6 +247,7 @@ def _hash_min(e, verts, max_iter) -> ComponentsResult:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = verts.select("id", F.col("id").alias("component")).persist()
+    labels_cached = labels  # see pagerank.py's ranks_cached note
     it, converged = 0, False
     while it < max_iter:
         nbr_min = (
@@ -242,10 +255,13 @@ def _hash_min(e, verts, max_iter) -> ComponentsResult:
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("component").alias("nbr"))
         )
-        new_labels = (
+        # fused step: the old label rides along as _prev, so change
+        # detection is a filter on THIS frame (no second |V| join)
+        stepped = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
+                F.col("component").alias("_prev"),
                 F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias(
                     "component"
                 ),
@@ -253,17 +269,17 @@ def _hash_min(e, verts, max_iter) -> ComponentsResult:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("component") != F.col("_prev")).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        if labels_cached is not None:
+            labels_cached.unpersist()
+        labels = stepped.drop("_prev")
+        labels_cached = stepped
         it += 1
         if it % 2 == 0:
             labels = labels.localCheckpoint(eager=True)
+            labels_cached.unpersist()  # blocks materialized by eager=True
+            labels_cached = None
         if changed == 0:
             converged = True
             break

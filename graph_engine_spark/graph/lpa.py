@@ -12,7 +12,11 @@ Spark shape per superstep: one join (labels onto the static symmetrized
 edge list), one count aggregation on (id, label), one ranking window
 partitioned by id for the argmax (SURVEY.md §2.5 — the same
 row_number-over-(count desc, label asc) pattern the reference's greedy
-rename resolution maps to), one join to detect changes.
+rename resolution maps to). Change detection is fused into the step
+join: the old label rides along as ``_prev`` in the stepped frame, so
+the has-anything-changed probe is a filter over that frame, not a
+second labels⋈labels join per superstep (round-4 change, mirroring
+pagerank's fused delta).
 
 Deliberately NOT integer-coded (unlike pagerank/cc/triangles): the
 deterministic tie-break is "minimum LABEL", and labels are vertex ids —
@@ -85,6 +89,11 @@ def _label_propagation(edges, sym, src, dst, max_iter, checkpoint=None, resume=F
             labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
     if labels is None:
         labels = verts.select("id", F.col("id").alias("label")).persist()
+    # handle owning the current label table's cache entry (None when the
+    # state lives in localCheckpoint blocks) — see pagerank.py's
+    # ranks_cached note: unpersist() through a re-rooted frame is a
+    # no-op, so each truncation must release its predecessor explicitly
+    labels_cached = labels
     win = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
     while it < max_iter:
         votes = (
@@ -97,29 +106,41 @@ def _label_propagation(edges, sym, src, dst, max_iter, checkpoint=None, resume=F
             .filter(F.col("rn") == 1)
             .select("id", F.col("label").alias("new_label"))
         )
-        new_labels = (
-            labels.join(best, "id", "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
+        # fused step: the old label rides along as _prev, so change
+        # detection is a filter on THIS frame (no second |V| join).
+        # shuffle_hash: with broadcasts disabled the planner would plan
+        # sort-merge and re-sort the labels side every superstep (see
+        # pagerank.py)
+        stepped = (
+            labels.join(best.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                F.col("label").alias("_prev"),
+                F.coalesce("new_label", "label").alias("label"),
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("label") != F.col("_prev")).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        if labels_cached is not None:
+            labels_cached.unpersist()
+        labels = stepped.drop("_prev")
+        labels_cached = stepped
         it += 1
         if checkpoint is not None and checkpoint.should_checkpoint(it):
             labels = checkpoint.save(labels, it, {"changed": changed}).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
+            labels_cached.unpersist()  # state re-rooted on Parquet
+            labels_cached = labels
         elif it % 2 == 0:
-            # change-detection joins labels twice per superstep → plan
-            # doubles without truncation (see pagerank.py)
+            # the vote join references labels once and the stepped frame
+            # once more → plan doubles without truncation (see
+            # pagerank.py)
             labels = labels.localCheckpoint(eager=True)
+            labels_cached.unpersist()  # blocks materialized by eager=True
+            labels_cached = None
         if changed == 0:
             converged = True
             break

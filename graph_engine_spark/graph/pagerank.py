@@ -26,11 +26,18 @@ Superstep design (SURVEY.md §4) — ONE Spark action per superstep:
      (the rank table carries a precomputed ``dangling`` flag), so
      superstep t+1 starts with its dangling mass already known. The
      first mass is analytic: |dangling| / N.
-  4. new rank = (1-d)/N + d·(contrib_sum + dangling/N) over the full
-     vertex table (left join keeps zero-in-degree vertices);
-  5. one action: join(new, old) → agg(L1 delta, next dangling mass);
-     checkpoint every k supersteps via CheckpointManager with manifest
-     metrics (resume mid-iteration).
+  4. new rank = (1-d)/N + d·(contrib_sum + dangling/N) joined onto the
+     CURRENT rank table (left join keeps zero-in-degree vertices; the
+     rank table holds every vertex, so it is the same row set as the
+     static vertex table) — and because the join base is the rank table,
+     the OLD rank rides along in a ``_prev`` column;
+  5. one action: agg(L1 delta, next dangling mass) over that same
+     stepped frame. Round-4 change: the previous shape built new ranks
+     from the static vertex table and then joined new⋈old a SECOND
+     time for the delta — one extra |V| hash join per superstep that
+     the ``_prev`` carry makes unnecessary. Checkpoint every k
+     supersteps via CheckpointManager with manifest metrics (resume
+     mid-iteration).
 """
 
 from __future__ import annotations
@@ -242,6 +249,15 @@ def pagerank(
             start_iter, ranks, metrics = state
             dangling_mass = metrics["dangling_mass"]
     ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    # the handle that OWNS the current rank table's SQL cache entry.
+    # When the loop state is re-rooted (localCheckpoint / durable
+    # checkpoint), the replacement frame has a different logical plan,
+    # so unpersist() through the replacement is a silent no-op and the
+    # superseded entry would sit in the CacheManager forever (one
+    # orphaned |V| entry per truncation — measured 12 stray entries
+    # after a 13-superstep run). Tracking the owning handle explicitly
+    # lets every re-root release its predecessor deterministically.
+    ranks_cached = ranks
 
     delta = float("inf")
     supersteps: list[float] = []
@@ -285,11 +301,21 @@ def pagerank(
         else:
             contribs = contribs.groupBy("id").agg(F.sum("contrib").alias("contrib"))
 
-        new_ranks = (
-            verts.join(contribs, "id", "left")
+        # Fused step: join contributions back onto the CURRENT rank
+        # table (same row set as verts — every vertex is present, with
+        # its dangling flag), so the old rank rides along as `_prev`
+        # and the delta aggregation below reads THIS frame instead of
+        # re-joining new⋈old (docstring step 4-5). shuffle_hash hint on
+        # the contribs (build) side: without it this left join planned
+        # as sort-merge, re-SORTING both |V| sides every superstep
+        # (same planner gap as the adjacency join above — with
+        # broadcasts disabled the planner never selects SHJ unaided).
+        stepped = (
+            ranks.join(contribs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 "dangling",
+                F.col("rank").alias("_prev"),
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -299,19 +325,16 @@ def pagerank(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # single action: L1 delta + next superstep's dangling mass
-        row = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "id")
-            .agg(
-                F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("delta"),
-                F.sum(F.when(F.col("n.dangling"), F.col("n.rank")).otherwise(0.0)).alias("dm"),
-            )
-            .collect()[0]
-        )
+        row = stepped.agg(
+            F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
+        ).collect()[0]
         delta, dangling_mass = float(row["delta"]), float(row["dm"] or 0.0)
         deltas.append(delta)
-        ranks.unpersist()
-        ranks = new_ranks
+        if ranks_cached is not None:
+            ranks_cached.unpersist()
+        ranks = stepped.drop("_prev")
+        ranks_cached = stepped
         it += 1
         supersteps.append(time.time() - t0)
         if checkpoint is not None and checkpoint.should_checkpoint(it):
@@ -324,6 +347,9 @@ def pagerank(
                     "superstep_seconds": supersteps[-1],
                 },
             ).persist(StorageLevel.MEMORY_AND_DISK)
+            # state is re-rooted on Parquet — release the in-memory step
+            ranks_cached.unpersist()
+            ranks_cached = ranks
         elif it % lineage_every == 0:
             # Truncate the logical plan. Each superstep references the
             # previous rank table TWICE (new-rank build + delta join), so
@@ -337,6 +363,11 @@ def pagerank(
             # durable variant above does the same via Parquet when a
             # CheckpointManager is active.
             ranks = ranks.localCheckpoint(eager=True)
+            # eager=True has materialized the checkpoint blocks — the
+            # superseded SQL cache entry can be released (see
+            # ranks_cached note above)
+            ranks_cached.unpersist()
+            ranks_cached = None
 
     adj.unpersist()
     verts.unpersist()

@@ -130,6 +130,11 @@ def _triangle_count(und: DataFrame) -> TriangleResult:
         StorageLevel.MEMORY_AND_DISK
     )
     total = tris.count()
+    # tris is materialized — release the oriented edge set (round-4
+    # cache hygiene: repeated triangle_count calls must not accumulate
+    # entries; recompute-on-eviction replays from e's lineage, which is
+    # correct either way)
+    e.unpersist()
     per_vertex = (
         tris.select(F.col("w").alias("id"))
         .unionAll(tris.select(F.col("x").alias("id")))

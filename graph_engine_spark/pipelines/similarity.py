@@ -148,12 +148,52 @@ def all_pairs_above(
 # Same plumbing as a trained IVF index: assign every vector to its
 # nearest coarse centroid (one narrow projection), store/partition by
 # cell, and answer queries by scanning only the nprobe closest cells.
-# Centroids here are deterministic unit vectors so the whole path is
-# reproducible and oracle-checkable; at scale, swap in MLlib KMeans
-# cluster centers — the assignment join and probe pruning are identical.
+# Two centroid sources share one assignment/probe path:
+#   * ivf_centroids — deterministic unit vectors; reproducible and
+#     oracle-checkable (the CORRECTNESS rows use this mode);
+#   * ivf_train — MLlib KMeans (k-means|| init) cluster centers; the
+#     production mode. Assignment scores are dot − ‖c‖²/2, the exact
+#     Euclidean nearest-centroid rule (argmin ‖v−c‖² = argmax v·c −
+#     ‖c‖²/2); for unit-norm centroids the ‖c‖²/2 term is a constant
+#     ½ across cells, so the hyperplane mode's ranking is unchanged.
 
 def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:
     return [_hyperplane(dim, 10_000 + c) for c in range(n_cells)]
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Coarse IVF centroids trained with MLlib KMeans (k-means||).
+
+    Returns plain Python centroid rows: centroids are a driver-side
+    constant (n_cells × dim floats) — the scale lives in the assignment
+    join, which is identical for trained and deterministic centroids.
+    At 100 TB pass sample_fraction: centroid quality needs ~10^5-10^6
+    points per cell, not the corpus — k-means|| over a bounded
+    sample(fraction) is one narrow scan + driver-sized iterations,
+    while the full-table fit would be max_iter passes over n × dim
+    doubles. Seeded end-to-end (sample + init) for reproducibility.
+    Reference parity: the reference has no vector index at all — this
+    is part of the beyond-reference LLM-pipeline family (SURVEY §6)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings
+    if sample_fraction is not None and sample_fraction < 1.0:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+    feats = feats.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def ivf_assign(
@@ -162,17 +202,25 @@ def ivf_assign(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     dim: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """(key, v, cell): nearest-centroid assignment, ties to the lowest
-    cell index (deterministic). argmax via array_max over (dot, prio)
-    structs — each dot product appears once (no exponential fold)."""
-    if dim is None:
-        dim = _infer_dim(embeddings, vec_col)
-    cents = ivf_centroids(dim, n_cells)
+    """(key, v, cell): Euclidean nearest-centroid assignment, ties to
+    the lowest cell index (deterministic). argmax via array_max over
+    (score, prio) structs — each centroid's score appears once (no
+    exponential fold). centroids: pass ivf_train output for the
+    trained index; default is the deterministic hyperplane set."""
+    if centroids is None:
+        if dim is None:
+            dim = _infer_dim(embeddings, vec_col)
+        centroids = ivf_centroids(dim, n_cells)
+    n_cells = len(centroids)
     v = F.col(vec_col).cast("array<double>")
     scored = [
         F.struct(
-            _dot(v, F.array(*[F.lit(x) for x in cents[c]])).alias("dot"),
+            (
+                _dot(v, F.array(*[F.lit(x) for x in centroids[c]]))
+                - F.lit(sum(x * x for x in centroids[c]) / 2.0)
+            ).alias("score"),
             F.lit(n_cells - 1 - c).alias("prio"),
             F.lit(c).alias("cell"),
         )
@@ -192,21 +240,33 @@ def ivf_topk(
     nprobe: int = 3,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN top-k scanning only the nprobe cells whose centroids are
     closest to the query — the partition-pruning path: with the vector
     table written partitioned by cell, the probe list prunes the scan
-    to nprobe/n_cells of the data before any distance math."""
+    to nprobe/n_cells of the data before any distance math.
+    centroids: pass ivf_train output for the trained index."""
     dim = len(query_vec)
-    cents = ivf_centroids(dim, n_cells)
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
+    n_cells = len(cents)
 
     def pydot(a, b):
         return sum(x * y for x, y in zip(a, b))
 
-    order = sorted(range(n_cells), key=lambda c: (-pydot(query_vec, cents[c]), c))
+    # same Euclidean rule as ivf_assign: probe cells by v·c − ‖c‖²/2
+    order = sorted(
+        range(n_cells),
+        key=lambda c: (
+            -(pydot(query_vec, cents[c]) - pydot(cents[c], cents[c]) / 2.0),
+            c,
+        ),
+    )
     probe = order[:nprobe]
     # dim is known from the query vector — no inference scan
-    assigned = ivf_assign(embeddings, n_cells, vec_col, key_col, dim=dim)
+    assigned = ivf_assign(
+        embeddings, n_cells, vec_col, key_col, dim=dim, centroids=cents
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = assigned.filter(F.col("cell").isin(probe))
     scored = cand.select(

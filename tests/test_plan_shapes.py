@@ -162,3 +162,51 @@ def test_pagerank_superstep_shuffles_only_rank_side(spark):
         adj.unpersist()
     finally:
         loop_conf.restore()
+
+
+def test_pagerank_fused_step_join_avoids_sorts(spark):
+    """Round-4 guard: the fused step join (ranks ⋈ contribs, left outer,
+    carrying the old rank as `_prev`) must plan as a shuffled hash join.
+    Without the hint on the contribs build side, broadcast-threshold -1
+    also disables the planner's own shuffled-hash selection and the step
+    degrades to sort-merge — re-sorting both |V| sides every superstep."""
+    from graph_engine_spark.graph.adjacency import build_adjacency
+    from graph_engine_spark.graph.pagerank import _IterLoopConf
+
+    loop_conf = _IterLoopConf(spark, 4)
+    try:
+        edges = spark.createDataFrame(
+            [(str(i), str((i * 3) % 40)) for i in range(200)], ["src", "dst"]
+        )
+        adj = build_adjacency(edges, num_partitions=4)
+        adj.count()
+        ranks = (
+            edges.select(F.col("src").alias("id")).distinct()
+            .repartition(4, "id")
+            .withColumn("dangling", F.lit(False))
+            .withColumn("rank", F.lit(1.0))
+        )
+        contribs = (
+            ranks.hint("shuffle_hash")
+            .join(adj, ranks.id == adj.src, "inner")
+            .select(
+                F.explode("dsts").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        stepped = ranks.join(contribs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            "dangling",
+            F.col("rank").alias("_prev"),
+            (F.lit(0.1) + F.lit(0.85) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+        )
+        plan = plan_of(stepped)
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin LeftOuter" in plan, plan  # the fused step
+        assert "ShuffledHashJoin Inner" in plan, plan  # the contribution join
+        assert "BroadcastExchange" not in plan, plan
+        adj.unpersist()
+    finally:
+        loop_conf.restore()
