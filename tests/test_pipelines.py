@@ -464,3 +464,54 @@ def test_ivf_topk_recall_vs_brute_force(spark, embeddings):
     for vid, c in got.items():
         if vid in exact_cos:
             assert abs(c - exact_cos[vid]) < 1e-9
+
+
+def test_ivf_trained_centroids_exact_on_clustered_data(spark):
+    """Round-4: ivf_train (MLlib k-means||) feeding the shared
+    assignment/probe path. On well-separated clusters the trained
+    quantizer puts each cluster in its own cell, so nprobe=1 already
+    recovers the exact top-k — the property a trained IVF has and the
+    deterministic hyperplane quantizer does not guarantee. Also pins the
+    Euclidean scoring rule: assignment must use dot - ||c||^2/2 (plain
+    dot mis-assigns against non-unit trained centers)."""
+    from graph_engine_spark.pipelines.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+    )
+
+    dim, per = 16, 40
+    # clusters separated by DIRECTION (axes 0/1/2), not magnitude —
+    # the top-k metric is cosine, so magnitude-only separation would
+    # rank a farther-but-collinear cluster above the query's own
+    rows = []
+    for c in range(3):
+        for i in range(per):
+            # deterministic jitter in [-0.5, 0.5), distinct per vector
+            vec = [
+                10.0 if d == c else ((i * 31 + d * 7) % 100) / 100.0 - 0.5
+                for d in range(dim)
+            ]
+            rows.append((c * per + i, vec))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents = ivf_train(emb, n_cells=3, seed=7)
+    assert len(cents) == 3 and len(cents[0]) == dim
+    # every cluster lands in one cell, and cells partition the corpus
+    sizes = {
+        r["cell"]: r["n"]
+        for r in ivf_assign(emb, centroids=cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sorted(sizes.values()) == [per, per, per], sizes
+
+    q = [10.0 if d == 0 else 0.1 for d in range(dim)]  # cluster-0 direction
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=5).collect()]
+    got = [
+        r["vec_id"]
+        for r in ivf_topk(emb, q, k=5, nprobe=1, centroids=cents).collect()
+    ]
+    assert got == exact, (got, exact)
