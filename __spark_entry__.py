@@ -451,13 +451,23 @@ def _q_simhash(spark, sf_dir):
 
 def _q_simhash_near_dup(spark, sf_dir):
     """SimHash Hamming near-dup pairs (pipelines/dedup.py, Manku'07
-    pigeonhole banding): 32-bit signatures, 4 chunk buckets, exact
-    popcount verify ≤ 3 — over documents ∪ near-identical copies."""
+    pigeonhole banding): 48-bit signatures, 4 chunk buckets, exact
+    popcount verify ≤ 3 — over documents ∪ near-identical copies.
+
+    48 bits, not 32 (round-4 change): chunk width = bits/4 sets the
+    bucket-key space for the pigeonhole equi-join. 8-bit chunks give
+    256 bucket values — at the sf0.1 corpus (~10^5 docs) every bucket
+    holds ~400 docs and the candidate self-join is quadratic in that
+    (measured 220-270 s in clean host windows). 12-bit chunks (4096
+    values) cut expected bucket size 16× and the join cost ~256×;
+    Manku'07 scales signature width with corpus size for exactly this
+    reason (64-bit sigs at web scale; 48 here keeps every shifted
+    literal inside a signed int64 for DuckDB-oracle parity)."""
     from graph_engine_spark.pipelines.dedup import simhash_near_dups
 
     corpus = _minhash_corpus(spark, sf_dir)
     pairs = simhash_near_dups(
-        corpus, text_col="text", key_col="key", bits=32, max_hamming=3
+        corpus, text_col="text", key_col="key", bits=48, max_hamming=3
     )
     return pairs.select("key_a", "key_b", "hamming")
 
@@ -1384,7 +1394,7 @@ FROM cand c JOIN shd a ON c.key_a = a.key JOIN shd b ON c.key_b = b.key""",
             extra_cte=",\nshd AS (SELECT key, list_distinct(shingles) AS shd FROM sh)",
         ),
         "simhash": _simhash_oracle(16),
-        "simhash_near_dup": _simhash_neardup_oracle(32, 3),
+        "simhash_near_dup": _simhash_neardup_oracle(48, 3),
         "winnowing": _winnowing_oracle(8, 4),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ivf_topk": _ivf_oracle(),
