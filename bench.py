@@ -62,6 +62,10 @@ OPERATOR_QUERIES = (
     "edges_for_nodes",
 )
 
+# Queries whose full result set is corpus-scale (millions of rows at
+# sf0.1): benched with count() — full execution, no driver collect.
+LARGE_RESULT_QUERIES = {"simhash_near_dup"}
+
 
 def timed(fn):
     t0 = time.time()
@@ -94,8 +98,13 @@ def cpu_probe(seconds: float = 1.5) -> float:
 # ≈ 7.7-8.3× the single-thread rate (measured linear region), throttled
 # windows collapse far below. A bracket half whose parallel speedup is
 # under MIN_PARALLEL_SPEEDUP rejects the window regardless of shift.
+# Gate value: a full-bench sweep with the resident (idle) Spark JVM
+# alongside the probes measured clean-looking halves at 5.0-10.3×
+# (JVM background threads shave the aggregate), while genuinely
+# throttled windows collapse to <4×; 6.0 rejected clean windows at
+# 5.4-6.0 (7 of 31 brackets, all with plausible times), so 5.0.
 AGG_PROCS = int(os.environ.get("SPARK_GRAFT_AGG_PROCS", "8"))
-MIN_PARALLEL_SPEEDUP = float(os.environ.get("SPARK_GRAFT_MIN_SPEEDUP", "6.0"))
+MIN_PARALLEL_SPEEDUP = float(os.environ.get("SPARK_GRAFT_MIN_SPEEDUP", "5.0"))
 
 
 def parallel_speedup(seconds: float = 1.2) -> tuple[float, float]:
@@ -351,7 +360,17 @@ def run_operator_queries(spark, reps: int = QUERY_REPS) -> tuple[dict, dict]:
             )
             return t
         t, df = timed(lambda: q[name](spark, SF_DIR))
-        t2, _ = timed(df.collect)
+        if name in LARGE_RESULT_QUERIES:
+            # count() executes the full plan (join + verify) but skips
+            # driver deserialization: simhash_near_dup yields ~1.8M
+            # pair rows at sf0.1 and collect() spent 287 s of a 295 s
+            # "measurement" turning them into Python objects on the
+            # driver — a harness artifact, not engine time (the pair
+            # computation itself measures 8.6 s). A real corpus job
+            # writes pairs to Parquet; it never collects them.
+            t2, _ = timed(df.count)
+        else:
+            t2, _ = timed(df.collect)
         return t + t2
 
     out: dict[str, float] = {}

@@ -370,96 +370,203 @@ def winnowing_fingerprints(
 
     Returns (key, fingerprint) exploded rows.
 
-    Shape: k-grams are POSEXPLODED to rows and the per-window minimum is
-    a running `min() OVER (ROWS BETWEEN CURRENT AND window-1 FOLLOWING)`
-    — one pass, linear work. (The tempting all-array formulation —
-    transform over sequence with array_min(slice(...)) — inlines the
-    whole upstream expression tree into every window position after
-    projection collapse, exploding codegen to O(len²) per document;
-    measured 40 s for 20 documents vs sub-second here.)
+    hash_mode="md5": gram hash is the first 15 hex chars of
+    md5('2:'||gram) as a 60-bit integer — bit-identical to the DuckDB
+    oracle (and to _md5_long). hash_mode="fast" (alias "xxhash64", for
+    call-site compatibility with the minhash/simhash family): a
+    vectorized 60-bit FNV-style polynomial over code points — the
+    production mode; engine-internal values, no cross-engine oracle.
 
-    The running-min window partitions by (key, CHUNK), not key alone:
-    gram positions are segmented into ``chunk_positions``-sized chunks,
-    with the first window−1 positions of each chunk replicated into the
-    previous one so every in-chunk window start sees its full lookahead.
-    A crawl-scale 10 MB document therefore spreads over ~160 tasks
-    instead of serializing ~10 M one-window rows into one (round-2
-    weak point); fingerprints are bit-identical to the unchunked form
-    (the overlap preserves every window, the guard below drops the
-    replicated context rows from being window STARTS twice). Valid
-    window starts come from the precomputed per-document gram count —
-    no per-key max() window, which was itself a one-task-per-document
-    serialization.
+    Shape — JVM chunking, Arrow-batched NumPy kernel, JVM dedup:
+
+    1. The document TEXT is chunked JVM-side: each chunk row carries
+       substring(norm, c·C+1, C+window+k−2), covering gram positions
+       [c·C, c·C+C+window−2] (own starts plus window−1 lookahead
+       grams, which need k−1 extra trailing chars). norm and the
+       chunk-text array are emitted as GENERATE outputs so downstream
+       expressions reference attributes — CollapseProject cannot
+       inline the full-text regexp_replace into per-chunk/per-slice
+       expressions (the round-2/3 optimizer trap, measured 39 s of a
+       48 s total). Chunking costs one O(c·C) codepoint scan per
+       chunk (O(n²/C) per document — ~16 MB of scanning for a 1 MB
+       doc), trivial next to hashing.
+    2. ONLY multi-chunk documents are repartitioned on (key, _chunk)
+       with a pinned partition count; single-chunk documents (the
+       vast majority of a web corpus at C=64 Ki gram positions) flow
+       straight from the scan into the kernel with NO exchange — a
+       doc that fits one chunk has nothing to spread, and shuffling
+       the full corpus text to fingerprint it would make the shuffle
+       write the dominant cost of the whole pass at 100 TB. The long
+       tail goes through the exchange because without it any upstream
+       partitioning that clusters by key (a range/bucketed source, a
+       post-join frame) satisfies the downstream requirements, no
+       exchange is inserted, and each giant document is processed
+       serially in the task that produced it (measured: 8×2 MB docs
+       279 s fused into 8 map tasks vs ~14 s spread). Pinned count
+       because AQE coalesces by BYTES, and 160 chunk rows of a 10 MB
+       doc are a few KB that fan out to ~10 M grams of downstream
+       work. The split reads the source twice (once per branch) —
+       two pruned column scans are far cheaper than one full-text
+       shuffle. Arrow batches on the no-shuffle path are bounded by
+       maxRecordsPerBatch × (C+k−1) chars.
+    3. Gram hashing and the sliding minimum run in ONE mapInPandas
+       kernel per chunk row: NumPy rolling minimum (window−1
+       elementwise mins on shifted views), hashlib.md5 per gram in
+       oracle mode, fully vectorized polynomial in fast mode, and a
+       per-chunk np.unique before emitting. The obvious Spark-first
+       formulation — posexplode the gram array built by
+       transform(arrays_zip(slice×k)) and run min() OVER (ROWS
+       BETWEEN CURRENT AND window−1) — keeps everything JVM-side but
+       the generator expression of a Generate is evaluated on the
+       INTERPRETED path (higher-order functions never enter
+       whole-stage codegen): ~30 transient Scala objects per gram,
+       measured ~60 µs CPU/gram at 32 concurrent tasks (allocation
+       contention) vs ~6 µs at 8 — a 16 M-gram batch burned 1000
+       CPU-seconds before this kernel replaced it. The earlier
+       whole-document variant of that formulation also tipped the
+       JVM into 1.8 s young-GC pauses once a document's transient
+       gram graph crossed ~600 KB (survivor-space churn while
+       posexplode drained n rows), so documents >0.5 MB never
+       finished at all. The kernel does ~3 vector ops per gram in
+       C, with per-row transients bounded by C.
+    4. The final global dedup is a JVM-side .distinct() — a plain
+       hash aggregation, map-side combined after the kernel's
+       per-chunk np.unique.
+
+    Valid window starts are derived chunk-locally: every non-last
+    chunk sees exactly window−1 lookahead grams past its C own
+    positions, so all C starts are valid; the last chunk's grams end
+    at the document end, so its final window−1 starts fail. A LAST
+    chunk with fewer than `window` grams of its own has no valid
+    starts; the single clipped window of a whole document shorter
+    than `window` grams exists only in chunk 0. Fingerprints are
+    bit-identical to the unchunked form: boundary grams are computed
+    in both neighboring chunks (once as lookahead, once as a start)
+    and collapse in the final distinct.
     """
-    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
 
     C = max(int(chunk_positions), window)
+    mode = "fast" if hash_mode == "xxhash64" else hash_mode
+    if mode not in ("md5", "fast"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r} (md5|fast|xxhash64)")
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    n = F.length(norm)
-    n_grams = F.when(n < k, F.lit(1)).otherwise(n - k + 1)
-    # Gram extraction is O(k·n) per document: split to a char array
-    # ONCE, then zip k shifted slices so element j of the zipped array
-    # is exactly gram j, and concat each struct's k fields. The naive
-    # form — transform(sequence(1, n-k+1), i -> norm.substr(i, k)) —
-    # inlines the WHOLE norm subtree (a regexp_replace over the full
-    # text) into the lambda, re-evaluating it per array element:
-    # O(n²) with a regex constant (a 22 KB document stalled an
-    # executor for minutes; the short sf0.01 oracle docs merely hid
-    # it). substr is also an O(position) codepoint scan on UTF8String,
-    # a second quadratic term the array slices avoid.
-    chars = F.split(norm, "")
-    zipped = F.arrays_zip(*[F.slice(chars, i + 1, n_grams) for i in range(k)])
-    grams = F.when(n < k, F.array(norm)).otherwise(
-        F.transform(
-            zipped, lambda s: F.concat_ws("", *[s[str(i)] for i in range(k)])
-        )
-    )
-    pos_grams = docs.select(
+    # norm as a Generate output → attribute, evaluated once per doc
+    normed = docs.select(
         F.col(key_col).alias("key"),
-        F.posexplode(grams).alias("pos", "g"),
+        F.explode(F.array(norm)).alias("_norm"),
     )
-    hashed = pos_grams.select(
-        "key", "pos", _base_hash(F.col("g"), 2, hash_mode).alias("h")
+    n = F.length(F.col("_norm"))
+    n_grams = F.when(n < k, F.lit(1)).otherwise(n - k + 1)
+    n_chunks = (F.floor((n_grams - F.lit(1)) / C) + 1).cast("int")
+    ext_len = F.lit(C + window + k - 2)
+    chunk_texts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.col("_norm").substr(c * C + 1, ext_len),
     )
-    own_chunk = F.floor(F.col("pos") / C).cast("int")
-    # head-of-chunk rows double as tail context for the previous chunk
-    chunk_ids = F.when(
-        (F.col("pos") >= C) & (F.col("pos") % C < window - 1),
-        F.array(own_chunk, own_chunk - 1),
-    ).otherwise(F.array(own_chunk))
-    chunked = hashed.select("key", "pos", "h", F.explode(chunk_ids).alias("_chunk"))
-    run = W.partitionBy("key", "_chunk").orderBy("pos").rowsBetween(0, window - 1)
-    per_chunk = W.partitionBy("key", "_chunk")
-    mins = chunked.select(
-        "key",
-        "pos",
-        "_chunk",
-        F.min("h").over(run).alias("fingerprint"),
-        F.max("pos").over(per_chunk).alias("_mx"),
+    n_shuffle = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
     )
-    # Valid window starts: globally pos ≤ n_grams−window, expressed PER
-    # CHUNK as pos ≤ max(pos)−window+1 over (key, chunk). The overlap
-    # construction makes the two identical: every non-last chunk's max
-    # extends exactly window−1 context positions past its own range (so
-    # all its own starts pass), while the last chunk's max is the
-    # document end (so its final window−1 starts fail) — including the
-    # boundary case where the document ends inside the context range.
-    # Deriving validity from the partition max keeps the plan free of
-    # any per-row document-level expression: carrying a computed
-    # n_grams column through the explode lets CollapseProject inline
-    # its defining regexp_replace(text) subtree into the filter,
-    # re-running a full-document regex PER GRAM ROW — measured 39 s of
-    # a 48 s total on 8×22 KB docs. The per-chunk max shares the min's
-    # partitioning (no extra shuffle, chunk-bounded sort).
-    return (
-        mins.filter(
-            # context rows replicated from the next chunk are lookahead
-            # only, never window starts of this chunk
-            (F.floor(F.col("pos") / C).cast("int") == F.col("_chunk"))
-            # greatest(...,0): a document shorter than window keeps its
-            # clipped pos-0 window
-            & (F.col("pos") <= F.greatest(F.col("_mx") - window + 1, F.lit(0)))
-        )
-        .select("key", "fingerprint")
-        .distinct()
+    # single-chunk docs: no explode, no exchange — scan → kernel.
+    # n_grams ≤ C ⇒ the whole norm (≤ C+k−1 chars) is chunk 0 and fits
+    # under ext_len, so the kernel sees exactly what posexplode would
+    # have produced.
+    short = normed.filter(n_grams <= C).select(
+        "key", F.lit(0).alias("_chunk"), F.col("_norm").alias("_ctext")
     )
+    long_rows = (
+        normed.filter(n_grams > C)
+        .select("key", F.posexplode(chunk_texts).alias("_chunk", "_ctext"))
+        .repartition(n_shuffle, "key", "_chunk")
+    )
+    chunked = short.unionByName(long_rows)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", docs.schema[key_col].dataType),
+            T.StructField("fingerprint", T.LongType()),
+        ]
+    )
+    kk, ww, CC = int(k), int(window), int(C)
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        B = np.uint64(1099511628211)  # FNV-1a 64-bit prime (odd)
+        SEED = np.uint64(1469598103934665603)  # FNV-1a 64-bit offset
+        MASK60 = np.uint64((1 << 60) - 1)
+        md5_base = hashlib.md5(b"2:")
+
+        def md5_gram(g: str) -> int:
+            m = md5_base.copy()
+            m.update(g.encode("utf-8"))
+            # first 15 hex chars == (first 8 bytes big-endian) >> 4
+            return int.from_bytes(m.digest()[:8], "big") >> 4
+
+        old_err = np.seterr(over="ignore")  # uint64 wraparound is the hash
+        try:
+            for pdf in batches:
+                fps_per_row = []
+                counts = np.zeros(len(pdf), dtype=np.int64)
+                for i, (chunk, s) in enumerate(
+                    zip(pdf["_chunk"].values, pdf["_ctext"].values)
+                ):
+                    if s is None:
+                        continue
+                    ln = len(s)
+                    if ln < kk:
+                        ng = 1
+                        if mode == "md5":
+                            h = np.array([md5_gram(s)], dtype=np.uint64)
+                        else:
+                            cp = np.frombuffer(
+                                s.encode("utf-32-le"), dtype=np.uint32
+                            ).astype(np.uint64)
+                            acc = SEED
+                            for c in cp:
+                                acc = acc * B + c
+                            h = np.array([acc & MASK60], dtype=np.uint64)
+                    else:
+                        ng = ln - kk + 1
+                        if mode == "md5":
+                            h = np.fromiter(
+                                (md5_gram(s[j : j + kk]) for j in range(ng)),
+                                dtype=np.uint64,
+                                count=ng,
+                            )
+                        else:
+                            cp = np.frombuffer(
+                                s.encode("utf-32-le"), dtype=np.uint32
+                            ).astype(np.uint64)
+                            h = np.full(ng, SEED, dtype=np.uint64)
+                            for j in range(kk):
+                                h = h * B + cp[j : j + ng]
+                            h &= MASK60
+                    if ng >= ww:
+                        m = h[: ng - ww + 1].copy()
+                        for j in range(1, ww):
+                            np.minimum(m, h[j : j + ng - ww + 1], out=m)
+                        fps = np.unique(m[: min(ng - ww + 1, CC)])
+                    elif chunk == 0:
+                        # whole document shorter than `window` grams:
+                        # one clipped window over all its grams
+                        fps = h.min(keepdims=True)
+                    else:
+                        continue  # trailing chunk: no own valid starts
+                    fps_per_row.append(fps.astype(np.int64))
+                    counts[i] = len(fps)
+                if not fps_per_row:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "key": np.repeat(pdf["key"].values, counts),
+                        "fingerprint": np.concatenate(fps_per_row),
+                    }
+                )
+        finally:
+            np.seterr(**old_err)
+
+    return chunked.mapInPandas(kernel, schema=out_schema).distinct()
