@@ -210,3 +210,37 @@ def test_pagerank_fused_step_join_avoids_sorts(spark):
         adj.unpersist()
     finally:
         loop_conf.restore()
+
+
+def test_winnowing_short_docs_never_shuffle_text(spark):
+    """The winnowing kernel's single-chunk branch (the bulk of a web
+    corpus) must flow scan -> mapInPandas with NO exchange: shuffling
+    the full corpus text to fingerprint it would make the shuffle write
+    the dominant cost of the pass at 100 TB. Only the multi-chunk tail
+    pays the pinned repartition (REPARTITION_BY_NUM), and the final
+    dedup is the sole requirement-driven exchange, map-side combined."""
+    from graph_engine_spark.pipelines.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, f"document body {i} " * 20) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    out = winnowing_fingerprints(df, k=8, window=4)
+    tree = out._jdf.queryExecution().executedPlan().toString()
+    lines = tree.splitlines()
+    union_at = next(i for i, ln in enumerate(lines) if "Union" in ln)
+    # tree format: the first (short) branch's subtree lines carry the
+    # ":" continuation marker; the second (long) branch follows it
+    short_branch = []
+    for ln in lines[union_at + 1 :]:
+        if not re.match(r"^\s*:", ln):
+            break
+        short_branch.append(ln)
+    assert short_branch, tree
+    assert not any("Exchange" in ln for ln in short_branch), tree
+    long_branch = "\n".join(lines[union_at + 1 + len(short_branch) :])
+    assert "REPARTITION_BY_NUM" in long_branch, tree
+    # final distinct: partial HashAggregate below its exchange
+    head = "\n".join(lines[:union_at])
+    assert "MapInPandas" in head, tree
+    assert head.count("Exchange") == 1 and "ENSURE_REQUIREMENTS" in head, tree
