@@ -246,7 +246,12 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
             r = connected_components(mg, checkpoint=ck)
             return r.components.count()
 
-    t_cc_ck, _ = stage("cc_checkpointed", _cc_ck, attempts=1)
+    # attempts=2 here (unlike the live-frame stages above): these three
+    # return plain counts — a bracket retry recomputes from the persisted
+    # link graph and leaves nothing cached behind, so one host wobble
+    # need not permanently reject the checkpoint-overhead evidence
+    # (round 4's first full run rejected exactly these two baselines).
+    t_cc_ck, _ = stage("cc_checkpointed", _cc_ck, attempts=2)
 
     # overhead baseline: a plain CC re-run ADJACENT to the checkpointed
     # one. The headline t_cc above is the first run of the alternating-
@@ -257,7 +262,7 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     t_cc_plain2, _ = stage(
         "cc_plain_rerun",
         lambda: connected_components(mg).components.count(),
-        attempts=1,
+        attempts=2,
     )
 
     def _lpa_ck():
@@ -266,7 +271,7 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
             r = label_propagation(mg, max_iter=5, checkpoint=ck)
             return r.labels.count()
 
-    t_lpa_ck, _ = stage("lpa_checkpointed_5it", _lpa_ck, attempts=1)
+    t_lpa_ck, _ = stage("lpa_checkpointed_5it", _lpa_ck, attempts=2)
 
     t_tri, tri = stage("triangle_count", lambda: triangle_count(mg))
     queries["triangle_count"] = round(t_tri, 3)
