@@ -222,10 +222,13 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
 
     t_ck6, _ = stage("checkpointed_6steps", _ck6)
 
+    # CC/LPA result frames are NOT persisted (each algorithm releases
+    # its loop caches before returning), so unlike the persisted link-
+    # graph stages above these can safely retry on a rejected bracket
     t_cc, cc = stage(
         "connected_components",
         lambda: (lambda r: (r, r.components.count()))(connected_components(mg)),
-        attempts=1,
+        attempts=2,
     )
     cc = cc[0]
     queries["connected_components"] = round(t_cc, 3)
@@ -233,7 +236,7 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     t_lpa, _ = stage(
         "label_propagation_5it",
         lambda: (lambda r: (r, r.labels.count()))(label_propagation(mg, max_iter=5)),
-        attempts=1,
+        attempts=2,
     )
     queries["label_propagation_5it"] = round(t_lpa, 3)
 
