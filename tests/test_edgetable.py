@@ -81,6 +81,29 @@ def test_src_join_shuffles_only_the_other_side(spark, edge_table):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
+def test_pagerank_identical_through_bucketed_table(spark, edge_table):
+    """Integration: the iterative layer consumes the bucketed table
+    exactly like a plain frame — per-vertex ranks match to 1e-12
+    (same deterministic plan, different physical source)."""
+    from graph_engine_spark.graph.pagerank import pagerank
+
+    name, edges = edge_table
+    # dedup first: the fixture plants duplicate rows, which the write
+    # removed — parallel edges would change contribution weights
+    direct = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges.dropDuplicates(), tol=-1.0, max_iter=5).ranks.collect()
+    }
+    via_table = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            read_edge_table(spark, name), tol=-1.0, max_iter=5
+        ).ranks.collect()
+    }
+    assert direct.keys() == via_table.keys()
+    assert all(abs(direct[k] - via_table[k]) < 1e-12 for k in direct)
+
+
 def test_plain_path_read_would_lose_the_bucketing(spark, edge_table):
     """Negative control for the read_edge_table docstring: reading the
     same files by path plans a shuffle for the same aggregation."""
