@@ -322,6 +322,42 @@ def _q_pagerank_sql(spark, sf_dir):
     )
 
 
+def _q_pagerank_weighted_sql(spark, sf_dir):
+    """Weighted PageRank (graph/pagerank.py weight_col;
+    adjacency.build_weighted_adjacency), 5 unrolled supersteps, same
+    deterministic nation-derived edge table as pagerank_5steps with
+    weight w = (src*3 + dst*5) % 7 + 1 — the engine's stand-in for the
+    reference's dynamic_call_count edge totals (manager.py:180-215)."""
+    from graph_engine_spark.graph.pagerank import pagerank
+
+    n = _load(spark, sf_dir, "nation")
+    e1 = n.select(
+        F.col("n_nationkey").alias("s"),
+        ((F.col("n_nationkey") * 7 + 3) % 25).alias("d"),
+    )
+    e2 = n.select(
+        F.col("n_nationkey").alias("s"),
+        ((F.col("n_regionkey") * 5) % 25).alias("d"),
+    )
+    edges = (
+        e1.unionByName(e2)
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .select(
+            F.col("s").cast("string").alias("src"),
+            F.col("d").cast("string").alias("dst"),
+            ((F.col("s") * 3 + F.col("d") * 5) % 7 + 1).cast("double").alias("w"),
+        )
+    )
+    res = pagerank(
+        edges, damping=0.85, tol=-1.0, max_iter=5, num_partitions=8,
+        weight_col="w",
+    )
+    return res.ranks.select(
+        F.col("id").cast("int").alias("id"), F.round("rank", 8).alias("rank")
+    )
+
+
 def _q_components_sql(spark, sf_dir):
     """Connected components over a deterministic small-diameter graph
     derived from nation; oracle = unrolled min-propagation in SQL."""
@@ -663,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "embedding_topk": _q_embedding_topk,
         "pagerank_5steps": _q_pagerank_sql,
+        "pagerank_weighted_5steps": _q_pagerank_weighted_sql,
         "connected_components": _q_components_sql,
         "triangle_count": _q_triangles_sql,
         "label_propagation": _q_lpa_sql,
@@ -703,6 +740,49 @@ r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts),
 {steps}
 SELECT id, ROUND(rank, 8) AS rank FROM r5
 """
+
+
+_PAGERANK_W_ORACLE = """
+WITH base AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT n_nationkey AS src, (n_nationkey * 7 + 3) % 25 AS dst FROM nation
+    UNION ALL
+    SELECT n_nationkey AS src, (n_regionkey * 5) % 25 AS dst FROM nation
+  ) WHERE src <> dst
+),
+edges AS (
+  SELECT src, dst, ((src * 3 + dst * 5) % 7 + 1)::DOUBLE AS w FROM base
+),
+verts AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+),
+nv AS (SELECT COUNT(*) AS n FROM verts),
+outw AS (SELECT src, SUM(w) AS d FROM edges GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts),
+{steps}
+SELECT id, ROUND(rank, 8) AS rank FROM r5
+"""
+
+
+def _pagerank_w_step(i: int) -> str:
+    prev, cur = f"r{i-1}", f"r{i}"
+    return f"""
+{cur} AS (
+  SELECT v.id,
+         (1 - 0.85) / (SELECT n FROM nv)
+         + 0.85 * (
+             COALESCE(c.contrib, 0)
+             + (SELECT COALESCE(SUM({prev}.rank), 0) FROM {prev}
+                LEFT JOIN outw ON {prev}.id = outw.src
+                WHERE outw.src IS NULL) / (SELECT n FROM nv)
+           ) AS rank
+  FROM verts v
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank * e.w / o.d) AS contrib
+    FROM edges e JOIN {prev} r ON e.src = r.id JOIN outw o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)"""
 
 
 def _pagerank_step(i: int) -> str:
@@ -1251,6 +1331,8 @@ FROM documents
 def oracle_sql() -> dict[str, str]:
     pr_steps = ",".join(_pagerank_step(i) for i in range(1, 6))
     pr = _PAGERANK_ORACLE.format(steps=pr_steps.lstrip(","))
+    prw_steps = ",".join(_pagerank_w_step(i) for i in range(1, 6))
+    prw = _PAGERANK_W_ORACLE.format(steps=prw_steps.lstrip(","))
     cc_init = "l0 AS (SELECT id, id AS component FROM verts)"
     cc_steps = cc_init + "," + ",".join(_cc_step(i) for i in range(1, 9))
     cc = _CC_ORACLE.format(steps=cc_steps)
@@ -1378,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC LIMIT 15
         """,
         "pagerank_5steps": pr,
+        "pagerank_weighted_5steps": prw,
         "connected_components": cc,
         "label_propagation": _LPA_ORACLE.format(
             steps=",".join(_lpa_step(i) for i in range(1, 4)).lstrip(",")

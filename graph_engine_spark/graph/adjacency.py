@@ -155,3 +155,81 @@ def build_adjacency(
     if persist:
         adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
     return adj
+
+
+def build_weighted_adjacency(
+    edges: DataFrame,
+    num_partitions: int,
+    weight: str,
+    src: str = "src",
+    dst: str = "dst",
+    persist: bool = True,
+    max_out_degree: int | None = MAX_OUT_DEGREE_PER_ROW,
+) -> DataFrame:
+    """Weighted CSR adjacency: (src, nbrs array<struct<dst, frac>>,
+    out_deg) where ``frac = w(src,dst) / Σ w(src, ·)`` is the
+    PRE-NORMALIZED contribution fraction.
+
+    Normalizing at build time (one extra map-side-combined sum + an
+    equi-join that shares the groupBy's hash partitioning) keeps the
+    superstep loop identical in shape to the unweighted path: the
+    per-iteration cost of weighted PageRank is exactly that of
+    unweighted — contribution = rank × frac instead of rank / out_deg,
+    no extra per-superstep join or divide-by-total.
+
+    Non-positive weights are dropped (a ≤0-weight edge carries no rank
+    mass); a vertex whose every out-edge is dropped correctly becomes
+    dangling. Parallel (src, dst) duplicates keep separate fracs — the
+    superstep's sum aggregation merges their contributions exactly.
+    Hub rows are chunked by the same hash-assignment cap as the
+    unweighted build; fracs are normalized by the vertex's TOTAL
+    weight, so chunking never changes the math.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("_w"),
+    ).filter(F.col("_w") > 0)
+    tot = e.groupBy("src").agg(
+        F.sum("_w").alias("_wt"), F.count("*").alias("out_deg")
+    )
+    ew = e.join(tot, "src").select(
+        "src",
+        "dst",
+        (F.col("_w") / F.col("_wt")).alias("frac"),
+        "out_deg",
+    )
+    if max_out_degree is None:
+        max_deg = 0
+    else:
+        max_deg = tot.agg(F.max("out_deg")).first()[0] or 0
+    if max_out_degree is None or max_deg <= max_out_degree:
+        adj = (
+            ew.groupBy("src")
+            .agg(
+                F.collect_list(F.struct("dst", "frac")).alias("nbrs"),
+                F.min("out_deg").alias("out_deg"),
+            )
+            .repartition(num_partitions, "src")
+        )
+    else:
+        n_chunks = F.ceil(F.col("out_deg") / F.lit(max_out_degree)).cast("int")
+        adj = (
+            ew.withColumn(
+                "_chunk",
+                F.when(
+                    F.col("out_deg") > max_out_degree,
+                    F.pmod(F.xxhash64("dst"), n_chunks),
+                ).otherwise(F.lit(0).cast("bigint")),
+            )
+            .groupBy("src", "_chunk")
+            .agg(
+                F.collect_list(F.struct("dst", "frac")).alias("nbrs"),
+                F.min("out_deg").alias("out_deg"),
+            )
+            .drop("_chunk")
+            .repartition(num_partitions, "src")
+        )
+    if persist:
+        adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    return adj

@@ -49,7 +49,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from graph_engine_spark.graph.adjacency import auto_partitions, build_adjacency, vertices
+from graph_engine_spark.graph.adjacency import (
+    auto_partitions,
+    build_adjacency,
+    build_weighted_adjacency,
+    vertices,
+)
 from graph_engine_spark.graph.checkpoint import CheckpointManager
 
 
@@ -120,8 +125,20 @@ def pagerank(
     lineage_every: int = 2,
     max_out_degree: int | None = None,
     encode_ids: bool = True,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """PageRank over an (src, dst) edge table. Ranks sum to 1.
+
+    weight_col: edge-weighted variant — each vertex distributes its
+    rank proportionally to outgoing edge weights instead of uniformly
+    (contribution = rank × w/Σw, pre-normalized at adjacency build;
+    see adjacency.build_weighted_adjacency). Non-positive weights are
+    dropped. The natural weight in this engine is the reference's
+    ``dynamic_call_count`` running totals on call edges
+    (manager.py:180-215, carried by ``streaming.merge_dynamic_calls``):
+    centrality by OBSERVED call frequency rather than static structure.
+    Loop shape, salting, checkpoints, and convergence are identical to
+    the unweighted path.
 
     encode_ids: dictionary-encode string vertex ids to 64-bit integers
     (xxhash64) for the duration of the loop, decoding on the way out.
@@ -163,11 +180,18 @@ def pagerank(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         edges = edges.select(
-            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+            F.xxhash64("src").alias("src"),
+            F.xxhash64("dst").alias("dst"),
+            *([F.col(weight_col).alias(weight_col)] if weight_col else []),
         )
 
     adj_kwargs = {} if max_out_degree is None else {"max_out_degree": max_out_degree}
-    adj = build_adjacency(edges, num_partitions, **adj_kwargs)
+    if weight_col is not None:
+        adj = build_weighted_adjacency(
+            edges, num_partitions, weight_col, **adj_kwargs
+        )
+    else:
+        adj = build_adjacency(edges, num_partitions, **adj_kwargs)
     verts = (
         vertices(edges)
         # distinct: hub adjacency is chunked into multiple rows per src
@@ -272,10 +296,23 @@ def pagerank(
         # silently degrades to sort-merge, re-SORTING the static cached
         # adjacency every superstep. The hint restores SHJ with ranks as
         # the build side (guarded by tests/test_plan_shapes.py).
-        contribs = ranks.hint("shuffle_hash").join(adj, ranks.id == adj.src, "inner").select(
-            F.explode("dsts").alias("id"),
-            (F.col("rank") / F.col("out_deg")).alias("contrib"),
-        )
+        if weight_col is not None:
+            # weighted: frac is pre-normalized at build, so the step is
+            # the same single explode — rank × frac, no per-step divide
+            contribs = (
+                ranks.hint("shuffle_hash")
+                .join(adj, ranks.id == adj.src, "inner")
+                .select(F.explode("nbrs").alias("_nb"), "rank")
+                .select(
+                    F.col("_nb.dst").alias("id"),
+                    (F.col("rank") * F.col("_nb.frac")).alias("contrib"),
+                )
+            )
+        else:
+            contribs = ranks.hint("shuffle_hash").join(adj, ranks.id == adj.src, "inner").select(
+                F.explode("dsts").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
         if hub_salts is not None:
             # hub keys get a per-map-partition salt so the first-stage
             # exchange spreads them over `salt_buckets` reducers; every

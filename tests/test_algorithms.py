@@ -393,3 +393,97 @@ def test_iterative_loops_leave_no_orphaned_cache_entries(spark):
     lpa = label_propagation(edges, max_iter=5, num_partitions=4)
     after_lpa = cache_mgr.cachedData().size()
     assert after_lpa - after_cc <= 1, f"lpa orphaned {after_lpa - after_cc - 1} entries"
+
+
+# --- weighted PageRank (edge weights = e.g. dynamic_call_count) -------
+
+
+def np_weighted_pagerank(wpairs, alpha=0.85, tol=1e-10, max_iter=1000):
+    """Dense numpy oracle: rank distributed proportionally to outgoing
+    weight; non-positive weights dropped; dangling redistribution as in
+    nx_pagerank."""
+    import numpy as np
+
+    live = [(str(a), str(b), float(w)) for a, b, w in wpairs if w > 0]
+    verts = sorted({a for a, _, _ in live} | {b for _, b, _ in live}
+                   | {str(a) for a, _, w in wpairs} | {str(b) for _, b, w in wpairs})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    W = np.zeros((n, n))
+    for a, b, w in live:
+        W[idx[a], idx[b]] += w
+    out = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out[i] > 0:
+                contrib += r[i] * W[i] / out[i]
+        dangling = r[out == 0].sum()
+        new = (1 - alpha) / n + alpha * (contrib + dangling / n)
+        if np.abs(new - r).sum() < tol:
+            r = new
+            break
+        r = new
+    return {v: r[idx[v]] for v in verts}
+
+
+def weighted_edge_df(spark, wpairs):
+    return spark.createDataFrame(
+        [(str(a), str(b), float(w)) for a, b, w in wpairs], ["src", "dst", "w"]
+    )
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    """Skewed weights, a dangling sink, a zero-weight edge (must be
+    dropped), and a parallel duplicate (weights must add)."""
+    wpairs = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (3, 0, 5.0), (1, 3, 0.5), (2, 4, 4.0),   # 4 = dangling sink
+        (3, 2, 0.0),                              # dropped
+        (0, 1, 1.5),                              # parallel: 0→1 totals 4.5
+    ]
+    res = pagerank(
+        weighted_edge_df(spark, wpairs), tol=1e-9, max_iter=300,
+        num_partitions=4, weight_col="w",
+    )
+    assert res.converged
+    assert_ranks_close(res, np_weighted_pagerank(wpairs))
+
+
+def test_weighted_pagerank_equal_weights_equals_unweighted(spark):
+    """Constant weights make the weighted path a pure physical variant
+    of the uniform one — ranks equal to 1e-12."""
+    pairs = ring(12) + star(8) + [(0, "x1"), ("x1", 3)]
+    base = pagerank(edge_df(spark, pairs), tol=1e-9, max_iter=12, num_partitions=4)
+    weighted = pagerank(
+        weighted_edge_df(spark, [(a, b, 2.5) for a, b in pairs]),
+        tol=1e-9, max_iter=12, num_partitions=4, weight_col="w",
+    )
+    got = {r["id"]: r["rank"] for r in base.ranks.collect()}
+    wgt = {r["id"]: r["rank"] for r in weighted.ranks.collect()}
+    assert set(got) == set(wgt)
+    for k, v in got.items():
+        assert abs(wgt[k] - v) < 1e-12, (k, wgt[k], v)
+
+
+def test_weighted_pagerank_hub_chunking_invariant(spark):
+    """Out-degree cap chunking must not change weighted ranks: fracs
+    are normalized by the vertex TOTAL, so chunked hub rows sum to the
+    same contribution."""
+    hub_out = [("h", f"t{i}", float(1 + i % 3)) for i in range(40)]
+    back = [(f"t{i}", "h", 1.0) for i in range(0, 40, 4)]
+    wpairs = hub_out + back
+    full = pagerank(
+        weighted_edge_df(spark, wpairs), tol=1e-9, max_iter=20,
+        num_partitions=4, weight_col="w",
+    )
+    chunked = pagerank(
+        weighted_edge_df(spark, wpairs), tol=1e-9, max_iter=20,
+        num_partitions=4, weight_col="w", max_out_degree=8,
+    )
+    a = {r["id"]: r["rank"] for r in full.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in chunked.ranks.collect()}
+    assert set(a) == set(b)
+    for k, v in a.items():
+        assert abs(b[k] - v) < 1e-12, (k, b[k], v)
