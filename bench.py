@@ -150,6 +150,8 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     inside its own probe bracket (windows returned per stage); a stage
     whose bracket rejects re-runs once before being published as
     rejected."""
+    from pyspark.sql import functions as F
+
     from graph_engine_spark.corpus import synthesize_corpus
     from graph_engine_spark.extractor import extract_graph
     from graph_engine_spark.graph.linkgraph import function_call_graph, module_link_graph
@@ -207,6 +209,18 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
         lambda: pagerank(mg, tol=-1.0, max_iter=6, salt_buckets=8, salt_degree_threshold=200),
     )
     t_plain6, _ = stage("unsalted_6steps", lambda: pagerank(mg, tol=-1.0, max_iter=6))
+
+    # weighted-variant evidence adjacent to the unweighted baseline:
+    # deterministic per-edge weight, same 6 supersteps — the delta vs
+    # t_plain6 is the cost of the pre-normalized weighted adjacency
+    # (build-time sum+join) since the loop shape is identical
+    mg_w = mg.withColumn(
+        "w", (F.pmod(F.xxhash64("src", "dst"), F.lit(7)) + F.lit(1)).cast("double")
+    )
+    t_weighted6, _ = stage(
+        "weighted_6steps",
+        lambda: pagerank(mg_w, tol=-1.0, max_iter=6, weight_col="w"),
+    )
 
     # durable-checkpoint evidence at bench scale (north rule: resumable
     # with per-partition lineage): the same 6 supersteps writing a
@@ -297,6 +311,7 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
         "triangles": tri.total,
         "salted_6steps_sec": round(t_salt6, 3),
         "unsalted_6steps_sec": round(t_plain6, 3),
+        "weighted_6steps_sec": round(t_weighted6, 3),
         "checkpointed_6steps_sec": round(t_ck6, 3),
         "checkpoint_overhead_per_superstep_sec": round((t_ck6 - t_plain6) / 6, 3),
         "cc_checkpointed_sec": round(t_cc_ck, 3),

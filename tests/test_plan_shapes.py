@@ -164,6 +164,58 @@ def test_pagerank_superstep_shuffles_only_rank_side(spark):
         loop_conf.restore()
 
 
+def test_weighted_pagerank_superstep_same_shape(spark):
+    """The weighted superstep (explode struct nbrs, rank × frac) must
+    keep the exact plan properties of the uniform one: shuffled hash
+    join, cached weighted adjacency satisfying the join distribution,
+    one live Exchange (the rank side)."""
+    from graph_engine_spark.graph.adjacency import build_weighted_adjacency
+    from graph_engine_spark.graph.pagerank import _IterLoopConf
+
+    loop_conf = _IterLoopConf(spark, 4)
+    try:
+        edges = spark.createDataFrame(
+            [(str(i), str((i * 3) % 40), float(1 + i % 5)) for i in range(200)],
+            ["src", "dst", "w"],
+        )
+        adj = build_weighted_adjacency(edges, num_partitions=4, weight="w")
+        adj.count()
+        ranks = (
+            edges.select(F.col("src").alias("id")).distinct()
+            .repartition(4, "id")
+            .withColumn("rank", F.lit(1.0))
+        )
+        joined = (
+            ranks.hint("shuffle_hash")
+            .join(adj, ranks.id == adj.src, "inner")
+            .select(F.explode("nbrs").alias("_nb"), "rank")
+            .select(
+                F.col("_nb.dst").alias("id"),
+                (F.col("rank") * F.col("_nb.frac")).alias("c"),
+            )
+        )
+        plan = plan_of(joined)
+        assert "BroadcastExchange" not in plan, plan
+        assert "ShuffledHashJoin" in plan, plan
+        assert "InMemoryTableScan" in plan, plan
+        tree = plan.split("\n\n")[0].splitlines()
+        rel_indent = None
+        live_exchanges = 0
+        for line in tree:
+            indent = len(line) - len(line.lstrip(" :+-*"))
+            if rel_indent is not None and indent > rel_indent:
+                continue
+            rel_indent = None
+            if "InMemoryRelation" in line:
+                rel_indent = indent
+            elif "Exchange" in line:
+                live_exchanges += 1
+        assert live_exchanges == 1, plan
+        adj.unpersist()
+    finally:
+        loop_conf.restore()
+
+
 def test_pagerank_fused_step_join_avoids_sorts(spark):
     """Round-4 guard: the fused step join (ranks ⋈ contribs, left outer,
     carrying the old rank as `_prev`) must plan as a shuffled hash join.
