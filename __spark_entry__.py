@@ -650,6 +650,30 @@ def _q_lpa_sql(spark, sf_dir):
     return res.labels.select("id", "label")
 
 
+def _q_lpa_weighted_sql(spark, sf_dir):
+    """Weighted label propagation (graph/lpa.py weight_col): vote =
+    total edge weight per label instead of neighbor count, same
+    deterministic min-label tie-break; 3 synchronous supersteps over
+    the LPA test graph with integer weights w = (sa*2 + sb*3) % 5 + 1
+    derived from the numeric vertex ids (exact in double sums, so the
+    DuckDB twin orders identically)."""
+    from graph_engine_spark.graph.lpa import label_propagation
+
+    e = _lpa_edges(spark, sf_dir)
+    w = (
+        (
+            F.substring("src", 2, 10).cast("int") * 2
+            + F.substring("dst", 2, 10).cast("int") * 3
+        )
+        % 5
+        + 1
+    )
+    res = label_propagation(
+        e.withColumn("w", w.cast("double")), max_iter=3, weight_col="w"
+    )
+    return res.labels.select("id", "label")
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing (pipelines/multimodal.py): opaque binary
     payloads derived from documents, Arrow-batched mapInPandas feature
@@ -703,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components_sql,
         "triangle_count": _q_triangles_sql,
         "label_propagation": _q_lpa_sql,
+        "label_propagation_weighted": _q_lpa_weighted_sql,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "secret_scan": _q_secret_scan,
@@ -1319,6 +1344,50 @@ def _lpa_step(i: int) -> str:
 )"""
 
 
+_LPA_W_ORACLE = """
+WITH base AS (
+  SELECT printf('v%02d', n_nationkey) AS src,
+         printf('v%02d', n_nationkey - (n_nationkey % 5)) AS dst FROM nation
+  UNION
+  SELECT printf('v%02d', n_nationkey), printf('v%02d', (n_nationkey * 3) % 25) FROM nation
+),
+edges AS (SELECT DISTINCT src, dst FROM base WHERE src <> dst),
+wedges AS (
+  SELECT src, dst,
+         ((CAST(substr(src, 2) AS INT) * 2 + CAST(substr(dst, 2) AS INT) * 3) % 5 + 1) AS w
+  FROM edges
+),
+symw AS (
+  SELECT a, b, SUM(w) AS w FROM (
+    SELECT src AS a, dst AS b, w FROM wedges
+    UNION ALL
+    SELECT dst AS a, src AS b, w FROM wedges
+  ) WHERE a <> b GROUP BY a, b
+),
+verts AS (SELECT DISTINCT a AS id FROM symw),
+l0 AS (SELECT id, id AS label FROM verts),
+{steps}
+SELECT id, label FROM l3
+"""
+
+
+def _lpa_w_step(i: int) -> str:
+    prev, cur = f"l{i - 1}", f"l{i}"
+    return f"""
+{cur} AS (
+  SELECT v.id, COALESCE(best.label, p.label) AS label
+  FROM verts v JOIN {prev} p ON v.id = p.id
+  LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT s.b AS id, q.label AS label,
+             ROW_NUMBER() OVER (PARTITION BY s.b ORDER BY SUM(s.w) DESC, q.label ASC) AS rn
+      FROM symw s JOIN {prev} q ON s.a = q.id
+      GROUP BY s.b, q.label
+    ) WHERE rn = 1
+  ) best ON best.id = v.id
+)"""
+
+
 _MULTIMODAL_ORACLE = """
 SELECT doc_id AS media_id,
   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1464,6 +1533,9 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": cc,
         "label_propagation": _LPA_ORACLE.format(
             steps=",".join(_lpa_step(i) for i in range(1, 4)).lstrip(",")
+        ),
+        "label_propagation_weighted": _LPA_W_ORACLE.format(
+            steps=",".join(_lpa_w_step(i) for i in range(1, 4)).lstrip(",")
         ),
         "lang_id": _lang_id_oracle(),
         "quality_score": _quality_oracle(),

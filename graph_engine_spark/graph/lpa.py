@@ -54,30 +54,59 @@ def label_propagation(
     num_partitions: int | None = None,
     checkpoint=None,
     resume: bool = False,
+    weight_col: str | None = None,
 ) -> LPAResult:
+    """weight_col: weighted votes — a vertex adopts the label with the
+    LARGEST TOTAL EDGE WEIGHT among its neighbors (sum instead of
+    count), ties still broken by minimum label. Symmetrization sums:
+    undirected weight(a,b) = Σ w over both directed duplicates.
+    Non-positive weights are dropped (they carry no vote). Same natural
+    weight as weighted PageRank: the reference's dynamic_call_count
+    totals — communities by observed interaction strength."""
     from graph_engine_spark.graph.adjacency import partitions_for_count
 
     spark = edges.sparkSession
     # build the loop's static symmetrized edge set first; sizing counts
     # THAT persisted table (materializing it for the loop), never the
     # caller's upstream lineage twice (cf. ADVICE r1)
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if weight_col is None:
+        sym = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        d = edges.select(
+            F.col(src).alias("a"),
+            F.col(dst).alias("b"),
+            F.col(weight_col).cast("double").alias("w"),
+        ).filter(F.col("w") > 0)
+        # the unweighted distinct becomes a weight-summing aggregation —
+        # same single shuffle, merging directed duplicates
+        sym = (
+            d.unionAll(d.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     if num_partitions is None:
         num_partitions = partitions_for_count(sym.count(), spark)
     loop_conf = _IterLoopConf(spark, num_partitions)
     try:
-        return _label_propagation(edges, sym, src, dst, max_iter, checkpoint, resume)
+        return _label_propagation(
+            edges, sym, src, dst, max_iter, checkpoint, resume,
+            weighted=weight_col is not None,
+        )
     finally:
         loop_conf.restore()
 
 
-def _label_propagation(edges, sym, src, dst, max_iter, checkpoint=None, resume=False) -> LPAResult:
+def _label_propagation(
+    edges, sym, src, dst, max_iter, checkpoint=None, resume=False, weighted=False
+) -> LPAResult:
     spark = edges.sparkSession
     verts = vertex_ids(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     it, converged = 0, False
@@ -99,7 +128,7 @@ def _label_propagation(edges, sym, src, dst, max_iter, checkpoint=None, resume=F
         votes = (
             sym.join(labels, sym.a == labels.id)
             .groupBy(F.col("b").alias("id"), "label")
-            .agg(F.count("*").alias("cnt"))
+            .agg((F.sum("w") if weighted else F.count("*")).alias("cnt"))
         )
         best = (
             votes.withColumn("rn", F.row_number().over(win))

@@ -487,3 +487,39 @@ def test_weighted_pagerank_hub_chunking_invariant(spark):
     assert set(a) == set(b)
     for k, v in a.items():
         assert abs(b[k] - v) < 1e-12, (k, b[k], v)
+
+
+def test_weighted_lpa_heavy_edge_flips_vote(spark):
+    """One synchronous superstep (deterministic — multi-step
+    synchronous LPA can 2-cycle, so single-step is the clean probe):
+    x's neighbors all start self-labeled, so count-voting ties at 1
+    and the min label a1 wins; weight-voting must pick the weight-5
+    neighbor b0."""
+    wpairs = [
+        ("a0", "a1", 1.0), ("a0", "a2", 1.0), ("a1", "a2", 1.0),
+        ("x", "a1", 1.0), ("x", "a2", 1.0),
+        ("x", "b0", 5.0),
+    ]
+    unweighted = label_propagation(
+        weighted_edge_df(spark, wpairs), max_iter=1, num_partitions=4
+    )
+    weighted = label_propagation(
+        weighted_edge_df(spark, wpairs), max_iter=1, num_partitions=4,
+        weight_col="w",
+    )
+    lu = {r["id"]: r["label"] for r in unweighted.labels.collect()}
+    lw = {r["id"]: r["label"] for r in weighted.labels.collect()}
+    assert lu["x"] == "a1"   # all votes count 1 → min-label tie-break
+    assert lw["x"] == "b0"   # weight 5 beats two weight-1 votes
+
+
+def test_weighted_lpa_equal_weights_equals_unweighted(spark):
+    pairs = two_cliques_bridge(4) + [("c0", "c1"), ("c1", "c2")]
+    base = label_propagation(edge_df(spark, pairs), max_iter=6, num_partitions=4)
+    weighted = label_propagation(
+        weighted_edge_df(spark, [(a, b, 3.0) for a, b in pairs]),
+        max_iter=6, num_partitions=4, weight_col="w",
+    )
+    lb = {r["id"]: r["label"] for r in base.labels.collect()}
+    lw = {r["id"]: r["label"] for r in weighted.labels.collect()}
+    assert lb == lw
