@@ -395,6 +395,34 @@ def _q_triangles_sql(spark, sf_dir):
     )
 
 
+def _q_clustering_coeff_sql(spark, sf_dir):
+    """Per-vertex local clustering coefficient
+    (graph/triangles.py:clustering_coefficient) over the triangle test
+    graph; oracle = canonical wedge+closing triangle join in SQL."""
+    from graph_engine_spark.graph.triangles import clustering_coefficient
+
+    n = _load(spark, sf_dir, "nation")
+    e1 = n.select(
+        F.col("n_nationkey").alias("a"), ((F.col("n_nationkey") + 1) % 25).alias("b")
+    )
+    e2 = n.select(
+        F.col("n_nationkey").alias("a"), ((F.col("n_nationkey") + 2) % 25).alias("b")
+    )
+    edges = (
+        e1.unionByName(e2)
+        .select(F.least("a", "b").cast("string").alias("src"),
+                F.greatest("a", "b").cast("string").alias("dst"))
+        .distinct()
+    )
+    cc = clustering_coefficient(edges)
+    return cc.select(
+        F.col("id").cast("int").alias("id"),
+        "deg",
+        "triangles",
+        F.round("coeff", 6).alias("coeff"),
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     """Heuristic language-ID (training-data pipeline op, pipelines/text.py)."""
     from graph_engine_spark.pipelines.text import lang_id
@@ -726,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_5steps": _q_pagerank_weighted_sql,
         "connected_components": _q_components_sql,
         "triangle_count": _q_triangles_sql,
+        "clustering_coefficient": _q_clustering_coeff_sql,
         "label_propagation": _q_lpa_sql,
         "label_propagation_weighted": _q_lpa_weighted_sql,
         "lang_id": _q_lang_id,
@@ -1344,6 +1373,38 @@ def _lpa_step(i: int) -> str:
 )"""
 
 
+_CLUSTERING_ORACLE = """
+WITH und AS (
+  SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM (
+    SELECT n_nationkey AS a, (n_nationkey + 1) % 25 AS b FROM nation
+    UNION ALL
+    SELECT n_nationkey AS a, (n_nationkey + 2) % 25 AS b FROM nation
+  ) WHERE a <> b
+),
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY id
+),
+tri AS (
+  SELECT t1.a AS x, t1.b AS y, t2.b AS z
+  FROM und t1
+  JOIN und t2 ON t1.a = t2.a AND t1.b < t2.b
+  JOIN und t3 ON t3.a = t1.b AND t3.b = t2.b
+),
+pv AS (
+  SELECT id, COUNT(*) AS t FROM (
+    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY id
+)
+SELECT d.id, d.deg, COALESCE(pv.t, 0) AS triangles,
+       ROUND(CASE WHEN d.deg >= 2
+                  THEN 2.0 * COALESCE(pv.t, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0 END, 6) AS coeff
+FROM deg d LEFT JOIN pv ON d.id = pv.id
+"""
+
+
 _LPA_W_ORACLE = """
 WITH base AS (
   SELECT printf('v%02d', n_nationkey) AS src,
@@ -1585,4 +1646,5 @@ FROM cand c JOIN shd a ON c.key_a = a.key JOIN shd b ON c.key_b = b.key""",
             )
             SELECT id::INT AS id, triangles FROM pv
         """,
+        "clustering_coefficient": _CLUSTERING_ORACLE,
     }

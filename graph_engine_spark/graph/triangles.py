@@ -144,3 +144,55 @@ def _triangle_count(und: DataFrame) -> TriangleResult:
     )
     und.unpersist()
     return TriangleResult(total, per_vertex)
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+    encode_ids: bool = True,
+) -> DataFrame:
+    """Per-vertex local clustering coefficient over the simple
+    undirected graph: (id, deg, triangles, coeff) for EVERY vertex,
+    coeff = 2T / (deg·(deg−1)), 0 when deg < 2.
+
+    Reuses the degree-ordered exact triangle machinery above (its
+    per-vertex output covers only triangle members), then left-joins
+    onto the full undirected degree table — one extra distinct +
+    count aggregation over the canonicalized edge set, nothing
+    superlinear beyond the wedge join already paid."""
+    pv = triangle_count(
+        edges, src=src, dst=dst, num_partitions=num_partitions,
+        encode_ids=encode_ids,
+    ).per_vertex
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        deg.join(pv, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )

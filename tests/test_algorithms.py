@@ -523,3 +523,21 @@ def test_weighted_lpa_equal_weights_equals_unweighted(spark):
     lb = {r["id"]: r["label"] for r in base.labels.collect()}
     lw = {r["id"]: r["label"] for r in weighted.labels.collect()}
     assert lb == lw
+
+
+def test_clustering_coefficient_k3_plus_pendant(spark):
+    """K3 {a,b,c} plus pendant c–d: coeff(a)=coeff(b)=1 (their whole
+    neighborhood is connected), coeff(c)=2·1/(3·2)=1/3, coeff(d)=0
+    (deg<2). Duplicate/reversed input edges must not change anything."""
+    from graph_engine_spark.graph.triangles import clustering_coefficient
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("b", "a")]
+    rows = {
+        r["id"]: r
+        for r in clustering_coefficient(edge_df(spark, pairs)).collect()
+    }
+    assert rows["a"]["deg"] == 2 and abs(rows["a"]["coeff"] - 1.0) < 1e-12
+    assert rows["b"]["deg"] == 2 and abs(rows["b"]["coeff"] - 1.0) < 1e-12
+    assert rows["c"]["deg"] == 3 and abs(rows["c"]["coeff"] - 1 / 3) < 1e-12
+    assert rows["d"]["deg"] == 1 and rows["d"]["coeff"] == 0.0
+    assert {r["triangles"] for r in rows.values()} == {1, 0}
