@@ -541,3 +541,31 @@ def test_clustering_coefficient_k3_plus_pendant(spark):
     assert rows["c"]["deg"] == 3 and abs(rows["c"]["coeff"] - 1 / 3) < 1e-12
     assert rows["d"]["deg"] == 1 and rows["d"]["coeff"] == 0.0
     assert {r["triangles"] for r in rows.values()} == {1, 0}
+
+
+def test_weighted_pagerank_checkpoint_resume(spark, tmp_path):
+    """Mid-iteration resume must hold for the weighted variant too:
+    the loop state (ranks + dangling mass) is weight-agnostic, but the
+    resumed run rebuilds the WEIGHTED adjacency — trajectory must equal
+    the uninterrupted run."""
+    from graph_engine_spark.graph.checkpoint import CheckpointManager
+
+    wpairs = [(i, (i + 1) % 20, float(1 + (i * 3) % 5)) for i in range(20)] + [
+        (i, 0, float(1 + i % 4)) for i in range(1, 10)
+    ]
+    df = lambda: weighted_edge_df(spark, wpairs)  # noqa: E731
+    full = pagerank(df(), tol=1e-10, max_iter=20, num_partitions=4, weight_col="w")
+    ck = CheckpointManager(str(tmp_path / "wck"), every_k=3)
+    partial = pagerank(
+        df(), tol=1e-10, max_iter=6, num_partitions=4, weight_col="w", checkpoint=ck
+    )
+    assert not partial.converged and ck.iterations()
+    resumed = pagerank(
+        df(), tol=1e-10, max_iter=20, num_partitions=4, weight_col="w",
+        checkpoint=ck, resume=True,
+    )
+    assert resumed.iterations == full.iterations == 20
+    got_full = {r["id"]: r["rank"] for r in full.ranks.collect()}
+    got_res = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+    for k in got_full:
+        assert abs(got_full[k] - got_res[k]) < 1e-9
