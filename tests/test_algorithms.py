@@ -569,3 +569,54 @@ def test_weighted_pagerank_checkpoint_resume(spark, tmp_path):
     got_res = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
     for k in got_full:
         assert abs(got_full[k] - got_res[k]) < 1e-9
+
+
+def test_weighted_pagerank_salting_matches_unsalted(spark):
+    """Degree-targeted salting must stay a pure physical rewrite under
+    weighted contributions (hub in-degree counts drive the salt
+    decision; weights ride the aggregated value)."""
+    wpairs = [(i, 0, float(1 + i % 7)) for i in range(1, 40)] + [
+        (0, i, float(1 + i % 3)) for i in range(1, 8)
+    ] + [(i, (i + 1) % 40 or 1, 2.0) for i in range(1, 40)]
+    base = pagerank(
+        weighted_edge_df(spark, wpairs), tol=1e-9, max_iter=10,
+        num_partitions=4, weight_col="w",
+    )
+    salted = pagerank(
+        weighted_edge_df(spark, wpairs), tol=1e-9, max_iter=10,
+        num_partitions=4, weight_col="w",
+        salt_buckets=8, salt_degree_threshold=20,
+    )
+    a = {r["id"]: r["rank"] for r in base.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in salted.ranks.collect()}
+    assert set(a) == set(b)
+    for k, v in a.items():
+        assert abs(b[k] - v) < 1e-12, (k, b[k], v)
+
+
+def test_weighted_lpa_checkpoint_resume(spark, tmp_path):
+    """Weighted LPA resumes mid-iteration like the count-voted path:
+    label state is weight-agnostic; the resumed run rebuilds the
+    weighted symmetrized edge set."""
+    from graph_engine_spark.graph.checkpoint import CheckpointManager
+
+    wpairs = [(f"a{i}", f"a{(i + 1) % 9}", float(1 + i % 4)) for i in range(9)] + [
+        (f"b{i}", f"b{(i + 2) % 11}", float(2 + i % 3)) for i in range(11)
+    ] + [("a0", "b0", 1.0)]
+    full = label_propagation(
+        weighted_edge_df(spark, wpairs), max_iter=6, num_partitions=4,
+        weight_col="w",
+    )
+    ck = CheckpointManager(str(tmp_path / "wlpa"), every_k=2)
+    label_propagation(
+        weighted_edge_df(spark, wpairs), max_iter=3, num_partitions=4,
+        weight_col="w", checkpoint=ck,
+    )
+    assert ck.iterations()
+    resumed = label_propagation(
+        weighted_edge_df(spark, wpairs), max_iter=6, num_partitions=4,
+        weight_col="w", checkpoint=ck, resume=True,
+    )
+    lf = {r["id"]: r["label"] for r in full.labels.collect()}
+    lr = {r["id"]: r["label"] for r in resumed.labels.collect()}
+    assert lf == lr
