@@ -161,28 +161,42 @@ def clustering_coefficient(
     per-vertex output covers only triangle members), then left-joins
     onto the full undirected degree table — one extra distinct +
     count aggregation over the canonicalized edge set, nothing
-    superlinear beyond the wedge join already paid."""
-    pv = triangle_count(
-        edges, src=src, dst=dst, num_partitions=num_partitions,
-        encode_ids=encode_ids,
-    ).per_vertex
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    superlinear beyond the wedge join already paid.
+
+    ``edges`` is read twice (inside triangle_count and again for the
+    degree table); an unpersisted input is persisted for the duration
+    — pagerank's owned_edges pattern (ADVICE r4: expensive upstream
+    lineage was replayed twice per call) — and the |V|-row result is
+    materialized EAGERLY (localCheckpoint: out of the CacheManager,
+    freed by the ContextCleaner when the caller drops it) while that
+    cache is live, so the owned entry can be released before returning
+    without the returned frame replaying upstream at evaluation."""
+    from pyspark.storagelevel import StorageLevel
+
+    owned_edges = None
+    if edges.storageLevel == StorageLevel.NONE:
+        owned_edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges = owned_edges
+    try:
+        pv = triangle_count(
+            edges, src=src, dst=dst, num_partitions=num_partitions,
+            encode_ids=encode_ids,
+        ).per_vertex
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("id"))
-        .unionAll(und.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count("*").alias("deg"))
-    )
-    return (
-        deg.join(pv, "id", "left")
-        .select(
+        deg = (
+            und.select(F.col("a").alias("id"))
+            .unionAll(und.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+        )
+        result = deg.join(pv, "id", "left").select(
             "id",
             "deg",
             F.coalesce("triangles", F.lit(0)).alias("triangles"),
@@ -195,4 +209,7 @@ def clustering_coefficient(
             .otherwise(F.lit(0.0))
             .alias("coeff"),
         )
-    )
+        return result.localCheckpoint(eager=True)
+    finally:
+        if owned_edges is not None:
+            owned_edges.unpersist()

@@ -42,6 +42,21 @@ from pyspark.sql import functions as F
 #: annotations (schemas.EDGES_SCHEMA) — all columns ride along.
 EDGE_KEY = ("src", "dst", "edge_type")
 
+#: Deterministic per-column merge rules for duplicate-key rows
+#: (ADVICE r4: dropDuplicates kept an ARBITRARY row, so differing
+#: annotations on duplicate keys survived nondeterministically and
+#: could silently drop call counts). Mirrors the reference's merge
+#: semantics (manager.py:180-215): runtime totals are additive,
+#: observation flags/timestamps are sticky, provenance ties break to
+#: the minimum. Columns not listed merge with min() — deterministic
+#: for any orderable type.
+_MERGE_RULES = {
+    "dynamic": F.max,  # observed-at-runtime is sticky across duplicates
+    "dynamic_call_count": F.sum,  # reference merges totals additively
+    "first_call_time": F.min,
+    "last_call_time": F.max,
+}
+
 
 def write_edge_table(
     edges: DataFrame,
@@ -50,17 +65,25 @@ def write_edge_table(
     buckets: int = 64,
     mode: str = "overwrite",
 ) -> None:
-    """Deduplicate (on the (src, dst, edge_type) identity; extractor
-    output is already unique on it, so this is a belt-and-braces no-op
-    there) and write ``edges`` — ALL columns, provenance included — as
-    a Parquet table bucketed by ``src`` (hash-clustered, sorted within
-    each bucket).
+    """Deduplicate on the (src, dst, edge_type) identity — merging the
+    non-key columns DETERMINISTICALLY per _MERGE_RULES rather than
+    keeping an arbitrary duplicate's row (extractor output is already
+    unique on the key, so this is a belt-and-braces no-op there) — and
+    write ``edges`` as a Parquet table bucketed by ``src``
+    (hash-clustered, sorted within each bucket). Same plan cost as the
+    old dropDuplicates: one hash aggregation on the key.
 
     ``path`` makes it an external table: the catalog entry carries the
     bucket spec, the data stays at ``path`` (sandbox hygiene — nothing
     lands in a default warehouse dir inside the repo).
     """
-    deduped = edges.dropDuplicates(list(EDGE_KEY))
+    extra = [c for c in edges.columns if c not in EDGE_KEY]
+    if extra:
+        deduped = edges.groupBy(*EDGE_KEY).agg(
+            *[_MERGE_RULES.get(c, F.min)(c).alias(c) for c in extra]
+        )
+    else:
+        deduped = edges.dropDuplicates(list(EDGE_KEY))
     (
         deduped.write.format("parquet")
         .mode(mode)

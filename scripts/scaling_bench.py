@@ -274,7 +274,7 @@ def main() -> None:
         # engine efficiency in this window could reach on this host
         cap_small = aggregate_capacity(args.n)
         cap_large = aggregate_capacity(args.n * 4)
-        hw_open = (cap_large / cap_small) / 4 if cap_small else None
+        hw_open = (cap_large / cap_small) / 4 if cap_small > 0 else None
         levels = [("small", args.n), ("large", args.n * 4)]
         if args.midpoint:
             levels.insert(1, ("mid", args.n * 2))
@@ -292,8 +292,16 @@ def main() -> None:
         # measured on both sides of the work it certifies
         cap_small2 = aggregate_capacity(args.n)
         cap_large2 = aggregate_capacity(args.n * 4)
-        hw_close = (cap_large2 / cap_small2) / 4 if cap_small2 else None
-        hw_ceiling = min(hw_open, hw_close) if hw_open and hw_close else None
+        hw_close = (cap_large2 / cap_small2) / 4 if cap_small2 > 0 else None
+        # explicit None checks (ADVICE r4): a legitimately measured
+        # ceiling of 0.0 (fully throttled host) must be REPORTED as 0.0
+        # — truthiness coerced it to null while still rejecting the
+        # window, hiding the evidence for the rejection
+        hw_ceiling = (
+            min(hw_open, hw_close)
+            if hw_open is not None and hw_close is not None
+            else None
+        )
         probe_shift = (max(probes) - min(probes)) / max(min(probes), 1.0)
         small, large = results["small"], results["large"]
         eff = (large["edges_per_sec"] / small["edges_per_sec"]) / 4
@@ -315,7 +323,9 @@ def main() -> None:
                 f"{args.n}_close": round(cap_small2 / 1e6, 1),
                 f"{args.n * 4}_close": round(cap_large2 / 1e6, 1),
             },
-            "hw_parallel_ceiling": round(hw_ceiling, 4) if hw_ceiling else None,
+            "hw_parallel_ceiling": round(hw_ceiling, 4)
+            if hw_ceiling is not None
+            else None,
             "hw_ceiling_ok": hw_ok,
             "efficiency_vs_hw_ceiling": round(eff / hw_ceiling, 4)
             if hw_ceiling
