@@ -505,6 +505,25 @@ def _q_ngram_jaccard(spark, sf_dir):
     return verified.select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_cluster(spark, sf_dir):
+    """Near-dup pairs → dedup clusters with one canonical keeper each
+    (pipelines/dedup.py dedup_clusters): connected components over the
+    LSH candidate-pair graph (graph/components.py alternating stars),
+    cluster_id = min key in the transitive closure, keep = min-key
+    member — the pairs→deduplicated-corpus step (VERDICT r4 #1)."""
+    from graph_engine_spark.pipelines.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+    )
+
+    corpus = _minhash_corpus(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        corpus, text_col="text", key_col="key", num_hashes=8, bands=4, k=5,
+        max_bucket_size=None,
+    )
+    return dedup_clusters(pairs)
+
+
 def _q_simhash(spark, sf_dir):
     """SimHash signatures (pipelines/dedup.py, Charikar'02 bit votes)."""
     from graph_engine_spark.pipelines.dedup import simhash_table
@@ -762,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan": _q_secret_scan,
         "minhash_lsh": _q_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_cluster": _q_dedup_cluster,
         "simhash": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnowing": _q_winnowing,
@@ -1608,6 +1628,27 @@ def oracle_sql() -> dict[str, str]:
         / greatest(len(list_distinct(list_concat(a.shd, b.shd))), 1), 6) AS jaccard
 FROM cand c JOIN shd a ON c.key_a = a.key JOIN shd b ON c.key_b = b.key""",
             extra_cte=",\nshd AS (SELECT key, list_distinct(shingles) AS shd FROM sh)",
+        ),
+        # transitive closure over the LSH pair graph: recursive
+        # min-reachability CC (base = every pair endpoint, so a
+        # hypothetical self-pair-only node still labels itself, matching
+        # the Spark CC's vertex union) + keeper = min-key member
+        "dedup_cluster": _minhash_oracle(
+            """SELECT id AS key, MIN(r) AS cluster_id, (MIN(r) = id) AS keep
+FROM (
+  WITH RECURSIVE sym AS (
+    SELECT key_a AS u, key_b AS v FROM cand WHERE key_a <> key_b
+    UNION
+    SELECT key_b AS u, key_a AS v FROM cand WHERE key_a <> key_b
+  ),
+  nodes AS (SELECT key_a AS id FROM cand UNION SELECT key_b FROM cand),
+  reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT reach.id, sym.v FROM reach JOIN sym ON sym.u = reach.r
+  )
+  SELECT id, r FROM reach
+) GROUP BY id"""
         ),
         "simhash": _simhash_oracle(16),
         "simhash_near_dup": _simhash_neardup_oracle(48, 3),

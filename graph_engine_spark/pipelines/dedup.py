@@ -570,3 +570,95 @@ def winnowing_fingerprints(
             np.seterr(**old_err)
 
     return chunked.mapInPandas(kernel, schema=out_schema).distinct()
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    key_col: str = "key",
+    scoring: DataFrame | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Compose near-duplicate PAIRS into dedup CLUSTERS with one
+    canonical keeper each — the step an actual 100 TB dedup run ends
+    with (the reference dedups nothing; this closes the pairs→corpus
+    gap the builder's brief makes first-class).
+
+    ``pairs`` is any (key_a, key_b) near-dup pair table — the output of
+    minhash_lsh_candidates (post-verify), simhash_near_dups, or
+    similarity.all_pairs_above. Returns one row per document that
+    appears in ANY pair: (key, cluster_id, keep) where cluster_id is
+    the minimum key in the document's transitive near-dup closure
+    (connected components over the pair graph —
+    graph/components.py:118, the alternating-star plan: O(log² n)
+    rounds of single-shuffle min-aggregations, so a pathological
+    million-document duplicate chain costs ~40 rounds, not 10^6) and
+    exactly one member per cluster has keep=true:
+
+      * scoring=None — the minimum key (deterministic, order-free);
+      * scoring=(key, score) DataFrame — the argmax score, key
+        ascending as tie-break, via one ranking window PER CLUSTER
+        (the §2.5 greedy-resolution pattern). Unscored members sort
+        last. Cluster sizes are bounded upstream by the LSH
+        degenerate-bucket cap, so the window partition never sees a
+        corpus-sized key.
+
+    Documents in no pair are their own implicit singleton clusters —
+    apply_dedup treats absent keys as keep=true, so this frame stays
+    proportional to the DUPLICATED subset, not the corpus.
+
+    The result is materialized eagerly (localCheckpoint) and the CC
+    run's cache entries are released before returning — repeated calls
+    in a long-lived session leave nothing in the CacheManager.
+    """
+    from graph_engine_spark.graph.components import connected_components
+
+    cc = connected_components(pairs, src=key_a, dst=key_b)
+    comp = cc.components.select(
+        F.col("id").alias(key_col), F.col("component").alias("cluster_id")
+    )
+    if scoring is None:
+        out = comp.select(
+            key_col,
+            "cluster_id",
+            (F.col(key_col) == F.col("cluster_id")).alias("keep"),
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc_nulls_last(score_col), F.asc(key_col)
+        )
+        out = (
+            comp.join(
+                scoring.select(F.col(key_col), F.col(score_col)), key_col, "left"
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .select(
+                key_col, "cluster_id", (F.col("_rn") == 1).alias("keep")
+            )
+        )
+    out = out.localCheckpoint(eager=True)
+    cc.release()
+    return out
+
+
+def apply_dedup(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    key_col: str = "doc_id",
+    cluster_key: str = "key",
+) -> DataFrame:
+    """Filter ``corpus`` to the deduplicated survivors: keep every row
+    whose key is absent from ``clusters`` (never near-duplicated) or
+    marked keep=true. One equi-join on the key — the clusters side is
+    proportional to the duplicated subset, so at corpus scale it is
+    broadcast-able or at worst a one-sided shuffle; corpus columns pass
+    through unchanged."""
+    cl = clusters.select(F.col(cluster_key).alias(key_col), "keep")
+    return (
+        corpus.join(cl, key_col, "left")
+        .filter(F.coalesce(F.col("keep"), F.lit(True)))
+        .drop("keep")
+    )

@@ -515,3 +515,156 @@ def test_ivf_trained_centroids_exact_on_clustered_data(spark):
         for r in ivf_topk(emb, q, k=5, nprobe=1, centroids=cents).collect()
     ]
     assert got == exact, (got, exact)
+
+
+# --- dedup clustering: near-dup pairs → deduplicated corpus -----------
+
+
+def _union_find_oracle(pairs):
+    """Driver-side union-find: {key: min key of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {k: find(k) for k in parent}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    """The full pairs→corpus composition (VERDICT r4 #1): planted
+    duplicates → minhash LSH candidates → Jaccard verify → transitive
+    clusters with min-key keepers → filtered corpus. Clusters must
+    match a union-find oracle exactly; apply_dedup keeps exactly the
+    keepers plus never-paired documents."""
+    from graph_engine_spark.pipelines.dedup import (
+        apply_dedup,
+        dedup_clusters,
+        minhash_lsh_candidates,
+        ngram_jaccard,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("green", "blue")),  # near-dup of 1
+        (3, base),  # exact dup of 1 → {1,2,3} one transitive cluster
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "another unrelated document mentioning catalyst and tungsten"),
+        (6, "short text one two three four five six seven eight nine ten"),
+        (7, "short text one two three four five six seven eight nine zen"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = minhash_lsh_candidates(
+        corpus, key_col="doc_id", num_hashes=32, bands=16, k=3
+    )
+    verified = (
+        ngram_jaccard(corpus, cands, key_col="doc_id", k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("key_a", "key_b")
+    )
+    pair_list = [(r["key_a"], r["key_b"]) for r in verified.collect()]
+    assert (1, 2) in pair_list and (1, 3) in pair_list  # planted cluster found
+    oracle = _union_find_oracle(pair_list)
+
+    clusters = dedup_clusters(verified)
+    got = {r["key"]: (r["cluster_id"], r["keep"]) for r in clusters.collect()}
+    assert {k: c for k, (c, _) in got.items()} == oracle
+    for k, (c, keep) in got.items():
+        assert keep == (k == c)
+
+    survivors = {r["doc_id"] for r in apply_dedup(corpus, clusters).collect()}
+    keepers = {k for k, (c, keep) in got.items() if keep}
+    never_paired = {d for d, _ in rows} - set(oracle)
+    assert survivors == keepers | never_paired
+    assert 1 in survivors and 2 not in survivors and 3 not in survivors
+
+
+def test_dedup_clusters_scoring_keeper(spark):
+    """scoring mode: the keeper is the argmax quality score, key
+    ascending as tie-break; unscored members sort last."""
+    from graph_engine_spark.pipelines.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8)], ["key_a", "key_b"]
+    )
+    scoring = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.9), (5, 0.4)], ["key", "score"]
+    )  # 6 unscored → 5 wins; 7/8 both unscored → min key 7 wins
+    clusters = dedup_clusters(pairs, scoring=scoring)
+    got = {r["key"]: (r["cluster_id"], r["keep"]) for r in clusters.collect()}
+    assert got == {
+        1: (1, False),
+        2: (1, True),  # argmax score, tie (2,3) breaks to min key
+        3: (1, False),
+        5: (5, True),
+        6: (5, False),
+        7: (7, True),
+        8: (7, False),
+    }
+
+
+def test_dedup_clusters_leaves_no_cache_entries(spark):
+    """dedup_clusters materializes eagerly and releases the CC run's
+    cache entries (components + id dictionary) before returning."""
+    from graph_engine_spark.pipelines.dedup import dedup_clusters
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    baseline = cache_mgr.cachedData().size()
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["key_a", "key_b"])
+    out = dedup_clusters(pairs)
+    assert out.count() == 4
+    assert cache_mgr.cachedData().size() == baseline
+
+
+def test_all_pairs_above_or_amplification_recall(spark):
+    """OR-amplification (VERDICT r4 missing #3): T independent plane
+    sets recover planted near-dup pairs a single table provably misses.
+    Ground truth is brute-force cosine over all pairs (numpy, driver-
+    side); everything is seeded, so the outcome is deterministic."""
+    import numpy as np
+
+    from graph_engine_spark.pipelines.similarity import all_pairs_above
+
+    rng = np.random.default_rng(42)
+    dim, n_pairs = 12, 50
+    base = rng.normal(size=(n_pairs, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base + rng.normal(scale=0.10, size=base.shape)  # cosine ~0.94
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    vecs = np.concatenate([base, dup])  # key i and i+n_pairs are dups
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(2 * n_pairs)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    sims = vecs @ vecs.T
+    truth = {
+        (i, j)
+        for i in range(2 * n_pairs)
+        for j in range(i + 1, 2 * n_pairs)
+        if sims[i, j] >= 0.9
+    }
+    assert len(truth) >= 40  # the plant worked
+
+    def recall(num_tables):
+        got = {
+            (r["key_a"], r["key_b"])
+            for r in all_pairs_above(
+                emb, 0.9, num_planes=4, dim=dim, num_tables=num_tables
+            ).collect()
+        }
+        assert got <= truth  # verify stage admits no false positives
+        return len(got & truth) / len(truth)
+
+    r1, r4 = recall(1), recall(4)
+    assert r1 < 0.9, f"single table should provably miss pairs, got {r1}"
+    assert r4 >= 0.95, f"T=4 OR-amplified recall {r4} < 0.95"
