@@ -18,18 +18,28 @@ the has-anything-changed probe is a filter over that frame, not a
 second labels⋈labels join per superstep (round-4 change, mirroring
 pagerank's fused delta).
 
-Deliberately NOT integer-coded (unlike pagerank/cc/triangles): the
-deterministic tie-break is "minimum LABEL", and labels are vertex ids —
-hashing is not order-preserving, so coded ties would resolve to
-different winners and propagate different (though equally valid-looking)
-labels than the specified semantics. An order-preserving dense-rank
-dictionary would permit coding at the cost of a one-time global sort;
-revisit if LPA ever dominates a profile.
+Integer coding (encode_ids=True): the deterministic tie-break is
+"minimum LABEL", and labels are vertex ids — HASH coding (pagerank/cc/
+triangles style) is not order-preserving, so coded ties would resolve
+to different winners and propagate different (though equally
+valid-looking) labels than the specified semantics. LPA instead builds
+an ORDER-PRESERVING dictionary — one global range-sort of the vertex
+ids, vid = monotonically_increasing_id over the sorted frame (partition
+ranges are ordered, so vid order == id order) — runs the loop on longs
+(string keys dominate the per-superstep shuffle bytes at scale — the
+same several-fold cut the other three algorithms already enjoy), and
+decodes BOTH columns on exit: results are exactly equal to the uncoded
+run. The dictionary is one extra |V| range shuffle paid once; with
+checkpointing it is written durably under the checkpoint dir (vid
+assignment is order-preserving but not bit-stable across sessions —
+range sampling differs — so resume must reload the ORIGINAL dict, never
+rebuild it).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import os
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -44,6 +54,56 @@ class LPAResult:
     labels: DataFrame  # (id, label)
     iterations: int
     converged: bool
+    # cache entries this run owns beyond the labels frame (the encode-
+    # path id dictionary the decoded plan joins) — same contract as
+    # ComponentsResult.release()
+    _owned: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist the labels frame and the internal id dictionary its
+        plan joins (encode path). The frame stays valid but replays its
+        truncated lineage on next evaluation — materialize first."""
+        self.labels.unpersist()
+        for df in self._owned:
+            df.unpersist()
+
+
+def _order_preserving_id_map(
+    edges: DataFrame, src: str, dst: str, checkpoint, resume: bool
+) -> DataFrame:
+    """(id, vid) dictionary with vid order == id order: range-shuffle
+    the distinct vertex ids, sort within partitions, number with
+    monotonically_increasing_id (partition_id·2³³ + offset — strictly
+    increasing across ordered range partitions). Values are sparse;
+    only their ORDER is contracted. With a checkpoint manager the dict
+    is written durably under <base_dir>/id_dict the first time and
+    RELOADED on resume — vid assignment depends on range-partitioner
+    sampling, so a rebuilt dict in a new session could code the same id
+    differently and silently mis-join the restored state."""
+    spark = edges.sparkSession
+    dict_path = os.path.join(checkpoint.base_dir, "id_dict") if checkpoint else None
+    if dict_path and os.path.exists(os.path.join(dict_path, "_SUCCESS")):
+        return spark.read.parquet(dict_path).persist(StorageLevel.MEMORY_AND_DISK)
+    if dict_path and resume and checkpoint.iterations():
+        # a coded resume MUST reuse the original dict; checkpointed
+        # state without one was written by an uncoded run (or the dict
+        # was deleted) — rebuilding would silently mis-join the state
+        raise ValueError(
+            f"resume with encode_ids=True but {dict_path} has no id "
+            "dictionary — the checkpoint was not written by a coded "
+            "run; rerun with the matching encode_ids setting"
+        )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    m = (
+        vertex_ids(edges, src, dst)
+        .repartitionByRange(n_part, "id")
+        .sortWithinPartitions("id")
+        .withColumn("vid", F.monotonically_increasing_id())
+    )
+    if dict_path:
+        m.write.mode("overwrite").parquet(dict_path)
+        m = spark.read.parquet(dict_path)
+    return m.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def label_propagation(
@@ -55,17 +115,51 @@ def label_propagation(
     checkpoint=None,
     resume: bool = False,
     weight_col: str | None = None,
+    encode_ids: bool = False,
 ) -> LPAResult:
-    """weight_col: weighted votes — a vertex adopts the label with the
+    """encode_ids: run the loop over order-preserving integer vertex
+    ids (module docstring) — labels decode to EXACTLY the uncoded run's.
+    Off by default: the dictionary costs one extra |V| range shuffle,
+    which only pays for itself once the per-superstep shuffle dominates
+    (large graphs / many supersteps — the 100 TB configuration).
+
+    weight_col: weighted votes — a vertex adopts the label with the
     LARGEST TOTAL EDGE WEIGHT among its neighbors (sum instead of
     count), ties still broken by minimum label. Symmetrization sums:
     undirected weight(a,b) = Σ w over both directed duplicates.
     Non-positive weights are dropped (they carry no vote). Same natural
     weight as weighted PageRank: the reference's dynamic_call_count
-    totals — communities by observed interaction strength."""
+    totals — communities by observed interaction strength.
+
+    Reproducibility (ADVICE r4): vote totals are summed as
+    DECIMAL(28,9), not DOUBLE — decimal addition is exact and
+    order-independent, so near-tied labels cannot flip between runs on
+    partition-order-dependent FP summation. Weights are consequently
+    quantized to 9 fractional digits on entry; weights differing only
+    beyond 1e-9 compare equal (integer-valued weights — the natural
+    dynamic_call_count case — are always exact)."""
     from graph_engine_spark.graph.adjacency import partitions_for_count
 
     spark = edges.sparkSession
+
+    id_map = None
+    if encode_ids:
+        id_map = _order_preserving_id_map(edges, src, dst, checkpoint, resume)
+        id_map.count()  # materialize while the source lineage is warm
+        wcols = [F.col(weight_col)] if weight_col is not None else []
+        edges = (
+            edges.select(F.col(src), F.col(dst), *wcols)
+            .join(
+                id_map.select(F.col("id").alias(src), F.col("vid").alias("_vs")),
+                src,
+            )
+            .join(
+                id_map.select(F.col("id").alias(dst), F.col("vid").alias("_vd")),
+                dst,
+            )
+            .select(F.col("_vs").alias(src), F.col("_vd").alias(dst), *wcols)
+        )
+
     # build the loop's static symmetrized edge set first; sizing counts
     # THAT persisted table (materializing it for the loop), never the
     # caller's upstream lineage twice (cf. ADVICE r1)
@@ -78,10 +172,11 @@ def label_propagation(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     else:
+        # decimal, not double: exact order-independent sums (docstring)
         d = edges.select(
             F.col(src).alias("a"),
             F.col(dst).alias("b"),
-            F.col(weight_col).cast("double").alias("w"),
+            F.col(weight_col).cast("decimal(28,9)").alias("w"),
         ).filter(F.col("w") > 0)
         # the unweighted distinct becomes a weight-summing aggregation —
         # same single shuffle, merging directed duplicates
@@ -96,23 +191,44 @@ def label_propagation(
         num_partitions = partitions_for_count(sym.count(), spark)
     loop_conf = _IterLoopConf(spark, num_partitions)
     try:
-        return _label_propagation(
+        res = _label_propagation(
             edges, sym, src, dst, max_iter, checkpoint, resume,
             weighted=weight_col is not None,
+            expected_id_type="bigint" if encode_ids else None,
         )
     finally:
         loop_conf.restore()
+    if id_map is not None:
+        # decode BOTH columns — vid order == id order, so the decoded
+        # labels are exactly the uncoded run's (module docstring)
+        lab = res.labels
+        out = (
+            lab.join(
+                id_map.select(F.col("vid").alias("id"), F.col("id").alias("_oid")),
+                "id",
+            )
+            .join(
+                id_map.select(
+                    F.col("vid").alias("label"), F.col("id").alias("_olabel")
+                ),
+                "label",
+            )
+            .select(F.col("_oid").alias("id"), F.col("_olabel").alias("label"))
+        )
+        res = LPAResult(out, res.iterations, res.converged, [id_map])
+    return res
 
 
 def _label_propagation(
-    edges, sym, src, dst, max_iter, checkpoint=None, resume=False, weighted=False
+    edges, sym, src, dst, max_iter, checkpoint=None, resume=False, weighted=False,
+    expected_id_type=None,
 ) -> LPAResult:
     spark = edges.sparkSession
     verts = vertex_ids(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     it, converged = 0, False
     labels = None
     if resume and checkpoint is not None:
-        state = checkpoint.resume(spark)
+        state = checkpoint.resume(spark, expected_id_type=expected_id_type)
         if state is not None:
             it, labels, _ = state
             labels = labels.persist(StorageLevel.MEMORY_AND_DISK)

@@ -620,3 +620,69 @@ def test_weighted_lpa_checkpoint_resume(spark, tmp_path):
     lf = {r["id"]: r["label"] for r in full.labels.collect()}
     lr = {r["id"]: r["label"] for r in resumed.labels.collect()}
     assert lf == lr
+
+
+# --- LPA order-preserving integer coding (VERDICT r4 #4) --------------
+
+
+def test_lpa_encoded_equals_uncoded(spark):
+    """encode_ids=True runs the loop over order-preserving integer ids;
+    decoded labels must EXACTLY equal the uncoded run — unweighted and
+    weighted, on graphs whose outcome depends on the min-label
+    tie-break (the semantics hash coding would break)."""
+    pairs = two_cliques_bridge(5) + [("c0", "c1"), ("c1", "c2"), ("zz", "c2")]
+    for kw in ({}, {"weight_col": "w"}):
+        if kw:
+            df = weighted_edge_df(spark, [(a, b, 2.0) for a, b in pairs])
+        else:
+            df = edge_df(spark, pairs)
+        plain = label_propagation(df, max_iter=6, num_partitions=4, **kw)
+        coded = label_propagation(
+            df, max_iter=6, num_partitions=4, encode_ids=True, **kw
+        )
+        lp = {r["id"]: r["label"] for r in plain.labels.collect()}
+        lc = {r["id"]: r["label"] for r in coded.labels.collect()}
+        assert lc == lp
+        assert plain.converged == coded.converged
+        assert plain.iterations == coded.iterations
+        coded.release()
+
+
+def test_lpa_encoded_checkpoint_resume(spark, tmp_path):
+    """Coded mid-iteration resume reloads the ORIGINAL durable
+    dictionary (vid assignment is not bit-stable across rebuilds) and
+    finishes with exactly the full run's labels; resuming coded state
+    without a dictionary fails fast."""
+    import pytest as _pytest
+
+    from graph_engine_spark.graph.checkpoint import CheckpointManager
+    from graph_engine_spark.graph.lpa import label_propagation
+
+    pairs = two_cliques_bridge(5)
+    full = label_propagation(
+        edge_df(spark, pairs), max_iter=4, num_partitions=2, encode_ids=True
+    )
+    expect = {r["id"]: r["label"] for r in full.labels.collect()}
+
+    ckdir = str(tmp_path / "lpa_enc_ck")
+    ck = CheckpointManager(ckdir, every_k=2, keep_last=2)
+    label_propagation(
+        edge_df(spark, pairs), max_iter=2, num_partitions=2,
+        checkpoint=ck, encode_ids=True,
+    )
+    resumed = label_propagation(
+        edge_df(spark, pairs), max_iter=4, num_partitions=2,
+        checkpoint=ck, resume=True, encode_ids=True,
+    )
+    got = {r["id"]: r["label"] for r in resumed.labels.collect()}
+    assert got == expect
+
+    # fail-fast: coded resume over a checkpoint with no dictionary
+    import shutil
+
+    shutil.rmtree(f"{ckdir}/id_dict")
+    with _pytest.raises(ValueError, match="no id dictionary"):
+        label_propagation(
+            edge_df(spark, pairs), max_iter=4, num_partitions=2,
+            checkpoint=ck, resume=True, encode_ids=True,
+        )
