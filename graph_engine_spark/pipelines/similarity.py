@@ -282,6 +282,26 @@ def ivf_assign(
     )
 
 
+def probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The nprobe cells whose centroids are closest to the query —
+    driver-side (centroids are a driver constant), same Euclidean rule
+    as ivf_assign (argmax v·c − ‖c‖²/2), ties to the lowest index."""
+
+    def pydot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    order = sorted(
+        range(len(centroids)),
+        key=lambda c: (
+            -(pydot(query_vec, centroids[c]) - pydot(centroids[c], centroids[c]) / 2.0),
+            c,
+        ),
+    )
+    return order[:nprobe]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -300,19 +320,7 @@ def ivf_topk(
     dim = len(query_vec)
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
     n_cells = len(cents)
-
-    def pydot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
-    # same Euclidean rule as ivf_assign: probe cells by v·c − ‖c‖²/2
-    order = sorted(
-        range(n_cells),
-        key=lambda c: (
-            -(pydot(query_vec, cents[c]) - pydot(cents[c], cents[c]) / 2.0),
-            c,
-        ),
-    )
-    probe = order[:nprobe]
+    probe = probe_cells(query_vec, cents, nprobe)
     # dim is known from the query vector — no inference scan
     assigned = ivf_assign(
         embeddings, n_cells, vec_col, key_col, dim=dim, centroids=cents
