@@ -16,7 +16,13 @@ driver, and this layer is explicitly NOT in any hot path (nothing in
 the engine imports it).
 
 Rows are ordered deterministically (id / (source, target, type)) so
-pagination is stable across requests against the same state.
+pagination is stable across requests against the same state. Two
+paging modes: ``?after=<cursor>`` keyset paging (``id > cursor`` —
+the predicate pushes to the scan and each request collects exactly one
+page, O(limit) however deep the client is; the edges cursor is the
+composite ``src|dst|edge_type``) and ``?offset=`` kept for
+reference-client compatibility (O(offset+limit) through the driver,
+bounded by max_limit — unfit to front a real corpus, use ``after``).
 """
 
 from __future__ import annotations
@@ -62,21 +68,45 @@ class GraphRestServer:
         self._thread: threading.Thread | None = None
 
     # --- request plumbing -------------------------------------------
-    def _rows(self, kind: str, limit: int, offset: int):
+    def _rows(self, kind: str, limit: int, offset: int, after: str | None):
         if kind == "nodes":
-            df = self._state.nodes.orderBy(F.asc("id"))
+            df = self._state.nodes
+            order = [F.asc("id")]
+            if after is not None:
+                df = df.filter(F.col("id") > after)
             mapper = node_row_to_doc
         else:
-            df = self._state.edges.orderBy(
-                F.asc("src"), F.asc("dst"), F.asc("edge_type")
-            )
+            df = self._state.edges
+            order = [F.asc("src"), F.asc("dst"), F.asc("edge_type")]
+            if after is not None:
+                # composite cursor src|dst|edge_type — lexicographic >
+                parts = after.split("|")
+                if len(parts) != 3:
+                    raise ValueError(
+                        "edges ?after cursor must be 'src|dst|edge_type'"
+                    )
+                s, d, t = parts
+                df = df.filter(
+                    (F.col("src") > s)
+                    | ((F.col("src") == s) & (F.col("dst") > d))
+                    | (
+                        (F.col("src") == s)
+                        & (F.col("dst") == d)
+                        & (F.col("edge_type") > t)
+                    )
+                )
             mapper = edge_row_to_doc
-        # offset via a skip-count window would shuffle; for the serving
-        # shim a driver-side slice of the (bounded by limit+offset)
-        # collect is the simple correct form
-        rows = df.limit(offset + limit).collect()
-        if offset:
-            rows = rows[offset:]
+        if after is not None:
+            # keyset page: the cursor predicate pushes to the scan and
+            # the driver collects exactly ONE page, however deep the
+            # client is into the table — O(limit), not O(offset)
+            rows = df.orderBy(*order).limit(limit).collect()
+        else:
+            # offset shim kept for reference-client compatibility:
+            # O(offset + limit) through the driver, bounded by max_limit
+            rows = df.orderBy(*order).limit(offset + limit).collect()
+            if offset:
+                rows = rows[offset:]
         return [mapper(r) for r in rows]
 
     def _make_handler(self):
@@ -102,13 +132,21 @@ class GraphRestServer:
                 if limit < 0 or offset < 0:
                     self._reply(400, {"error": "limit/offset must be >= 0"})
                     return
+                after = q.get("after", [None])[0]
+                if after is not None and offset:
+                    self._reply(
+                        400, {"error": "after and offset are mutually exclusive"}
+                    )
+                    return
                 limit = min(limit, outer._max_limit)
                 if parsed.path not in ("/graph/nodes", "/graph/edges"):
                     self._reply(404, {"error": f"unknown path {parsed.path}"})
                     return
                 kind = parsed.path.rsplit("/", 1)[1]
                 try:
-                    self._reply(200, outer._rows(kind, limit, offset))
+                    self._reply(200, outer._rows(kind, limit, offset, after))
+                except ValueError as e:  # malformed cursor
+                    self._reply(400, {"error": str(e)})
                 except Exception as e:  # surface as HTTP, not a dropped conn
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
