@@ -39,6 +39,7 @@ rebuild it).
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -54,6 +55,10 @@ class LPAResult:
     labels: DataFrame  # (id, label)
     iterations: int
     converged: bool
+    # wall seconds per superstep (driver-observed) — the same
+    # observability series pagerank (superstep_seconds) and CC
+    # (round_seconds) carry
+    round_seconds: list = field(default_factory=list)
     # cache entries this run owns beyond the labels frame (the encode-
     # path id dictionary the decoded plan joins) — same contract as
     # ComponentsResult.release()
@@ -240,7 +245,9 @@ def _label_propagation(
     # no-op, so each truncation must release its predecessor explicitly
     labels_cached = labels
     win = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+    rounds: list[float] = []
     while it < max_iter:
+        _t0 = time.time()
         votes = (
             sym.join(labels, sym.a == labels.id)
             .groupBy(F.col("b").alias("id"), "label")
@@ -273,6 +280,7 @@ def _label_propagation(
         labels = stepped.drop("_prev")
         labels_cached = stepped
         it += 1
+        rounds.append(time.time() - _t0)
         if checkpoint is not None and checkpoint.should_checkpoint(it):
             labels = checkpoint.save(labels, it, {"changed": changed}).persist(
                 StorageLevel.MEMORY_AND_DISK
@@ -291,4 +299,4 @@ def _label_propagation(
             break
     sym.unpersist()
     verts.unpersist()
-    return LPAResult(labels, it, converged)
+    return LPAResult(labels, it, converged, rounds)
