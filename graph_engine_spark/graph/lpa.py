@@ -220,7 +220,9 @@ def label_propagation(
             )
             .select(F.col("_oid").alias("id"), F.col("_olabel").alias("label"))
         )
-        res = LPAResult(out, res.iterations, res.converged, [id_map])
+        res = LPAResult(
+            out, res.iterations, res.converged, res.round_seconds, [id_map]
+        )
     return res
 
 

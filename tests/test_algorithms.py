@@ -630,6 +630,8 @@ def test_lpa_encoded_equals_uncoded(spark):
     decoded labels must EXACTLY equal the uncoded run — unweighted and
     weighted, on graphs whose outcome depends on the min-label
     tie-break (the semantics hash coding would break)."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    baseline = cache_mgr.cachedData().size()
     pairs = two_cliques_bridge(5) + [("c0", "c1"), ("c1", "c2"), ("zz", "c2")]
     for kw in ({}, {"weight_col": "w"}):
         if kw:
@@ -645,7 +647,12 @@ def test_lpa_encoded_equals_uncoded(spark):
         assert lc == lp
         assert plain.converged == coded.converged
         assert plain.iterations == coded.iterations
+        assert len(coded.round_seconds) == coded.iterations  # not _owned leak
         coded.release()
+        plain.release()
+    # release() freed the coded runs' id dictionaries too (regression:
+    # the dict once rode the round_seconds slot and leaked forever)
+    assert cache_mgr.cachedData().size() == baseline
 
 
 def test_lpa_encoded_checkpoint_resume(spark, tmp_path):
