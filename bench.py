@@ -279,7 +279,7 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     def _cc_run():
         r = connected_components(mg)
         n = r.components.count()
-        r.components.unpersist()
+        r.release()
         return r.iterations, list(r.round_seconds), n
 
     t_cc, (cc_iters, cc_rounds, _) = stage("connected_components", _cc_run, attempts=2)
@@ -288,7 +288,7 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     def _lpa_run():
         r = label_propagation(mg, max_iter=5)
         n = r.labels.count()
-        r.labels.unpersist()
+        r.release()
         return n
 
     t_lpa, _ = stage("label_propagation_5it", _lpa_run, attempts=2)
@@ -320,13 +320,13 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
             ck = CheckpointManager(ckdir, every_k=2, keep_last=1)
             r = connected_components(mg, checkpoint=ck)
             n = r.components.count()
-            r.components.unpersist()
+            r.release()
             return n
 
     def _cc_plain():
         r = connected_components(mg)
         n = r.components.count()
-        r.components.unpersist()
+        r.release()
         return n
 
     cc_oh = interleaved_overhead("cc_ck_overhead", _cc_ck, _cc_plain, windows)
@@ -337,13 +337,13 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
             ck = CheckpointManager(ckdir, every_k=2, keep_last=1)
             r = label_propagation(mg, max_iter=5, checkpoint=ck)
             n = r.labels.count()
-            r.labels.unpersist()
+            r.release()
             return n
 
     def _lpa_plain():
         r = label_propagation(mg, max_iter=5)
         n = r.labels.count()
-        r.labels.unpersist()
+        r.release()
         return n
 
     lpa_oh = interleaved_overhead("lpa_ck_overhead", _lpa_ck, _lpa_plain, windows)

@@ -188,7 +188,8 @@ def connected_components(
         mins = dec.groupBy("cvid").agg(F.min("oid").alias("component"))
         out = dec.join(mins, "cvid").select(F.col("oid").alias("id"), "component")
         res = ComponentsResult(
-            out, res.iterations, res.converged, res.round_seconds, [id_map]
+            out, res.iterations, res.converged, res.round_seconds,
+            res._owned + [id_map],
         )
     return res
 
@@ -313,4 +314,8 @@ def _hash_min(e, verts, max_iter) -> ComponentsResult:
             converged = True
             break
     sym.unpersist()
-    return ComponentsResult(labels, it, converged, rounds)
+    # labels_cached is the persisted handle behind the returned frame
+    return ComponentsResult(
+        labels, it, converged, rounds,
+        [f for f in (labels_cached,) if f is not None],
+    )

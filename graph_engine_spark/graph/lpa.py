@@ -221,7 +221,8 @@ def label_propagation(
             .select(F.col("_oid").alias("id"), F.col("_olabel").alias("label"))
         )
         res = LPAResult(
-            out, res.iterations, res.converged, res.round_seconds, [id_map]
+            out, res.iterations, res.converged, res.round_seconds,
+            res._owned + [id_map],
         )
     return res
 
@@ -301,4 +302,10 @@ def _label_propagation(
             break
     sym.unpersist()
     verts.unpersist()
-    return LPAResult(labels, it, converged, rounds)
+    # the persisted handle backing the returned labels is labels_cached
+    # (None when the state lives in localCheckpoint blocks) — owned so
+    # release() actually frees it (unpersist through .drop is a no-op)
+    return LPAResult(
+        labels, it, converged, rounds,
+        [f for f in (labels_cached,) if f is not None],
+    )

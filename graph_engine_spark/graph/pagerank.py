@@ -110,6 +110,19 @@ class PageRankResult:
     converged: bool
     superstep_seconds: list = field(default_factory=list)
     delta_history: list = field(default_factory=list)  # L1 delta per superstep
+    # cache entries this run owns beyond the ranks frame (the encode-
+    # path id dictionary and the persisted rank table the decoded plan
+    # reads) — same release() contract as ComponentsResult/LPAResult
+    _owned: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist the ranks frame and the internal frames its plan
+        joins (rank table, id dictionary). The frame stays valid but
+        replays truncated lineage on next evaluation — materialize
+        first (collect / write / localCheckpoint), then release."""
+        self.ranks.unpersist()
+        for df in self._owned:
+            df.unpersist()
 
 
 def pagerank(
@@ -219,12 +232,16 @@ def pagerank(
         loop_conf.restore()
         if owned_edges is not None:
             owned_edges.unpersist()
+        adj.unpersist()  # empty result reads verts/id_map only
         empty = (
             id_map.select("id", F.lit(0.0).alias("rank"))
             if id_map is not None
             else verts.select("id", F.lit(0.0).alias("rank"))
         )
-        return PageRankResult(empty, 0, 0.0, True)
+        return PageRankResult(
+            empty, 0, 0.0, True, [], [],
+            [f for f in (verts, id_map) if f is not None],
+        )
 
     # Degree-TARGETED salting: only dsts whose in-degree exceeds the
     # threshold are spread over salt buckets; every other key keeps the
@@ -422,6 +439,10 @@ def pagerank(
         )
     else:
         final = ranks.select("id", "rank")
+    # the persisted handle is ranks_cached, NOT the returned/derived
+    # frame (unpersist through a .drop/.select re-root is a no-op);
+    # None when the final state lives in localCheckpoint blocks
+    owned = [f for f in (ranks_cached, id_map) if f is not None]
     return PageRankResult(
-        final, it, float(delta), delta <= tol, supersteps, deltas
+        final, it, float(delta), delta <= tol, supersteps, deltas, owned
     )

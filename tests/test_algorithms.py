@@ -394,6 +394,14 @@ def test_iterative_loops_leave_no_orphaned_cache_entries(spark):
     after_lpa = cache_mgr.cachedData().size()
     assert after_lpa - after_cc <= 1, f"lpa orphaned {after_lpa - after_cc - 1} entries"
 
+    # release() contract (round 5): every result frees its own caller-
+    # visible survivors — rank/label/component frame AND the encode-path
+    # id dictionary — returning the CacheManager to the pre-run state
+    res.release()
+    cc.release()
+    lpa.release()
+    assert cache_mgr.cachedData().size() == baseline
+
 
 # --- weighted PageRank (edge weights = e.g. dynamic_call_count) -------
 
