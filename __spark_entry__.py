@@ -423,6 +423,61 @@ def _q_clustering_coeff_sql(spark, sf_dir):
     )
 
 
+def _q_bfs_sql(spark, sf_dir):
+    """Multi-source 3-hop BFS (graph/traversal.py:bfs_k_hops) over the
+    pagerank test graph, sources {0, 13}, directed out — the k-hop
+    generalization of the reference's 1-hop/2-hop neighbor scans
+    (graph_core/graph.py get_neighbors / call-chain walk)."""
+    from graph_engine_spark.graph.traversal import bfs_k_hops
+
+    n = _load(spark, sf_dir, "nation")
+    e1 = n.select(
+        F.col("n_nationkey").cast("int").alias("src"),
+        ((F.col("n_nationkey") * 7 + 3) % 25).cast("int").alias("dst"),
+    )
+    e2 = n.select(
+        F.col("n_nationkey").cast("int").alias("src"),
+        ((F.col("n_regionkey") * 5) % 25).cast("int").alias("dst"),
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+    res = bfs_k_hops(edges, [0, 13], max_hops=3, num_partitions=8)
+    return res.distances.select(
+        F.col("id").cast("int").alias("id"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+def _q_kcore_sql(spark, sf_dir):
+    """3-core via iterative peeling (graph/traversal.py:k_core) over a
+    deterministic graph on nation keys: the 25-cycle (degree 2 — peeled)
+    plus a K5 clique on {10..14} and a K4 on {20..23} (the surviving
+    core). Exact integer degrees, converges in 2 peel rounds."""
+    from graph_engine_spark.graph.traversal import k_core
+
+    n = _load(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("int")
+    cyc = n.select(
+        key.alias("src"), ((key + 1) % 25).cast("int").alias("dst")
+    )
+    a = n.select(key.alias("ka"))
+    b = n.select(key.alias("kb"))
+
+    def _clique(lo, hi):
+        return (
+            a.crossJoin(b)
+            .filter(
+                F.col("ka").between(lo, hi)
+                & F.col("kb").between(lo, hi)
+                & (F.col("ka") < F.col("kb"))
+            )
+            .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+        )
+
+    edges = cyc.unionByName(_clique(10, 14)).unionByName(_clique(20, 23))
+    res = k_core(edges, k=3, num_partitions=8)
+    return res.vertices.select(F.col("id").cast("int").alias("id"), "core_deg")
+
+
 def _q_lang_id(spark, sf_dir):
     """Heuristic language-ID (training-data pipeline op, pipelines/text.py)."""
     from graph_engine_spark.pipelines.text import lang_id
@@ -772,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_5steps": _q_pagerank_sql,
         "pagerank_weighted_5steps": _q_pagerank_weighted_sql,
         "connected_components": _q_components_sql,
+        "bfs_3hops": _q_bfs_sql,
+        "k_core": _q_kcore_sql,
         "triangle_count": _q_triangles_sql,
         "clustering_coefficient": _q_clustering_coeff_sql,
         "label_propagation": _q_lpa_sql,
@@ -908,6 +965,64 @@ def _cc_step(i: int) -> str:
                          WHERE s.b = v.id), p.component)) AS component
   FROM verts v JOIN {prev} p ON v.id = p.id
 )"""
+
+
+_BFS_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(src AS INT) AS src, CAST(dst AS INT) AS dst FROM (
+    SELECT n_nationkey AS src, (n_nationkey * 7 + 3) % 25 AS dst FROM nation
+    UNION ALL
+    SELECT n_nationkey AS src, (n_regionkey * 5) % 25 AS dst FROM nation
+  ) WHERE src <> dst
+),
+reach AS (
+  SELECT CAST(id AS INT) AS id, 0 AS dist FROM (VALUES (0), (13)) t(id)
+  UNION
+  SELECT e.dst AS id, r.dist + 1 AS dist
+  FROM reach r JOIN e ON e.src = r.id WHERE r.dist < 3
+)
+SELECT id, CAST(MIN(dist) AS INT) AS dist FROM reach GROUP BY id
+"""
+
+
+def _kcore_step(i: int, k: int) -> str:
+    """One unrolled peel round: degrees of e{i-1}, then only edges whose
+    BOTH endpoints keep degree >= k survive into e{i} (the SQL twin of
+    graph/traversal.py:k_core's agg + two semi-joins)."""
+    prev, cur = f"e{i-1}", f"e{i}"
+    return f"""
+d{i} AS (SELECT u, COUNT(*) AS c FROM {prev} GROUP BY u),
+{cur} AS (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN d{i} x ON x.u = e.u AND x.c >= {k}
+  JOIN d{i} y ON y.u = e.v AND y.c >= {k}
+)"""
+
+
+_KCORE_ORACLE = """
+WITH dir AS (
+  SELECT CAST(n_nationkey AS INT) AS src,
+         CAST((n_nationkey + 1) % 25 AS INT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(a.n_nationkey AS INT), CAST(b.n_nationkey AS INT)
+  FROM nation a, nation b
+  WHERE a.n_nationkey BETWEEN 10 AND 14 AND b.n_nationkey BETWEEN 10 AND 14
+    AND a.n_nationkey < b.n_nationkey
+  UNION ALL
+  SELECT CAST(a.n_nationkey AS INT), CAST(b.n_nationkey AS INT)
+  FROM nation a, nation b
+  WHERE a.n_nationkey BETWEEN 20 AND 23 AND b.n_nationkey BETWEEN 20 AND 23
+    AND a.n_nationkey < b.n_nationkey
+),
+e0 AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM dir WHERE src <> dst
+    UNION ALL
+    SELECT dst, src FROM dir WHERE src <> dst)
+),
+{steps}
+SELECT u AS id, COUNT(*) AS core_deg FROM e6 GROUP BY u
+"""
 
 
 # --- generated oracle SQL for hash/similarity operators -------------
@@ -1612,6 +1727,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_5steps": pr,
         "pagerank_weighted_5steps": prw,
         "connected_components": cc,
+        "bfs_3hops": _BFS_ORACLE,
+        "k_core": _KCORE_ORACLE.format(
+            steps=",".join(_kcore_step(i, 3) for i in range(1, 7)).lstrip(",")
+        ),
         "label_propagation": _LPA_ORACLE.format(
             steps=",".join(_lpa_step(i) for i in range(1, 4)).lstrip(",")
         ),
