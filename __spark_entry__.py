@@ -358,6 +358,32 @@ def _q_pagerank_weighted_sql(spark, sf_dir):
     )
 
 
+def _q_pagerank_personalized_sql(spark, sf_dir):
+    """Personalized PageRank (graph/pagerank.py personalization= —
+    seeded teleport + seeded dangling mass, networkx semantics), 5
+    unrolled supersteps, same deterministic nation-derived edge table
+    as pagerank_5steps with seeds {0: 2.0, 13: 1.0}."""
+    from graph_engine_spark.graph.pagerank import pagerank
+
+    n = _load(spark, sf_dir, "nation")
+    e1 = n.select(
+        F.col("n_nationkey").cast("string").alias("src"),
+        ((F.col("n_nationkey") * 7 + 3) % 25).cast("string").alias("dst"),
+    )
+    e2 = n.select(
+        F.col("n_nationkey").cast("string").alias("src"),
+        ((F.col("n_regionkey") * 5) % 25).cast("string").alias("dst"),
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+    res = pagerank(
+        edges, damping=0.85, tol=-1.0, max_iter=5, num_partitions=8,
+        personalization={"0": 2.0, "13": 1.0},
+    )
+    return res.ranks.select(
+        F.col("id").cast("int").alias("id"), F.round("rank", 8).alias("rank")
+    )
+
+
 def _q_components_sql(spark, sf_dir):
     """Connected components over a deterministic small-diameter graph
     derived from nation; oracle = unrolled min-propagation in SQL."""
@@ -826,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "pagerank_5steps": _q_pagerank_sql,
         "pagerank_weighted_5steps": _q_pagerank_weighted_sql,
+        "pagerank_personalized_5steps": _q_pagerank_personalized_sql,
         "connected_components": _q_components_sql,
         "bfs_3hops": _q_bfs_sql,
         "k_core": _q_kcore_sql,
@@ -929,6 +956,56 @@ def _pagerank_step(i: int) -> str:
                 WHERE outdeg.src IS NULL) / (SELECT n FROM nv)
            ) AS rank
   FROM verts v
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / o.d) AS contrib
+    FROM edges e JOIN {prev} r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)"""
+
+
+_PAGERANK_P_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT n_nationkey AS src, (n_nationkey * 7 + 3) % 25 AS dst FROM nation
+    UNION ALL
+    SELECT n_nationkey AS src, (n_regionkey * 5) % 25 AS dst FROM nation
+  ) WHERE src <> dst
+),
+verts AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+),
+nv AS (SELECT COUNT(*) AS n FROM verts),
+pvec AS (
+  SELECT id, CASE WHEN id = 0 THEN 2.0/3.0
+                  WHEN id = 13 THEN 1.0/3.0
+                  ELSE 0.0 END AS pv
+  FROM verts
+),
+outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts),
+{steps}
+SELECT id, ROUND(rank, 8) AS rank FROM r5
+"""
+
+
+def _pagerank_p_step(i: int) -> str:
+    """Personalized superstep: teleport and dangling mass scale by the
+    per-vertex seed weight pv instead of 1/N (graph/pagerank.py's
+    personalized new_rank branch)."""
+    prev, cur = f"r{i-1}", f"r{i}"
+    return f"""
+{cur} AS (
+  SELECT v.id,
+         (1 - 0.85) * p.pv
+         + 0.85 * (
+             COALESCE(c.contrib, 0)
+             + (SELECT COALESCE(SUM({prev}.rank), 0) FROM {prev}
+                LEFT JOIN outdeg ON {prev}.id = outdeg.src
+                WHERE outdeg.src IS NULL) * p.pv
+           ) AS rank
+  FROM verts v
+  JOIN pvec p ON v.id = p.id
   LEFT JOIN (
     SELECT e.dst AS id, SUM(r.rank / o.d) AS contrib
     FROM edges e JOIN {prev} r ON e.src = r.id JOIN outdeg o ON e.src = o.src
@@ -1598,6 +1675,8 @@ def oracle_sql() -> dict[str, str]:
     pr = _PAGERANK_ORACLE.format(steps=pr_steps.lstrip(","))
     prw_steps = ",".join(_pagerank_w_step(i) for i in range(1, 6))
     prw = _PAGERANK_W_ORACLE.format(steps=prw_steps.lstrip(","))
+    prp_steps = ",".join(_pagerank_p_step(i) for i in range(1, 6))
+    prp = _PAGERANK_P_ORACLE.format(steps=prp_steps.lstrip(","))
     cc_init = "l0 AS (SELECT id, id AS component FROM verts)"
     cc_steps = cc_init + "," + ",".join(_cc_step(i) for i in range(1, 9))
     cc = _CC_ORACLE.format(steps=cc_steps)
@@ -1726,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_5steps": pr,
         "pagerank_weighted_5steps": prw,
+        "pagerank_personalized_5steps": prp,
         "connected_components": cc,
         "bfs_3hops": _BFS_ORACLE,
         "k_core": _KCORE_ORACLE.format(

@@ -139,8 +139,23 @@ def pagerank(
     max_out_degree: int | None = None,
     encode_ids: bool = True,
     weight_col: str | None = None,
+    personalization=None,
 ) -> PageRankResult:
     """PageRank over an (src, dst) edge table. Ranks sum to 1.
+
+    personalization: seeded teleport (personalized PageRank) — a list of
+    vertex ids (equal weight), a dict {id: weight}, or a DataFrame
+    (id, weight). Teleport and dangling mass go to the seed
+    distribution instead of uniformly (networkx.pagerank
+    `personalization=` semantics: seeds absent from the graph are
+    dropped before normalization; zero surviving mass raises). This is
+    the "importance relative to THIS file/module" query a code graph
+    answers for relatedness ranking. Cost: the per-vertex teleport
+    weight rides the rank table as one extra double column — the
+    uniform path is untouched and pays nothing. Combines freely with
+    weight_col, salting, and checkpoint/resume (the weight column is
+    checkpointed with the state; resuming a personalized checkpoint
+    without `personalization`, or vice versa, fails fast).
 
     weight_col: edge-weighted variant — each vertex distributes its
     rank proportionally to outgoing edge weights instead of uniformly
@@ -184,6 +199,7 @@ def pagerank(
         num_partitions = auto_partitions(edges)
     loop_conf = _IterLoopConf(spark, num_partitions)
 
+    key_type = dict(edges.dtypes)["src"]  # pre-encoding seed-id type
     id_map = None
     if encode_ids:
         id_map = (
@@ -265,8 +281,64 @@ def pagerank(
             hub_salts = F.broadcast(hubs_df)
         # else: nothing skewed enough — stay single-stage
 
+    def _abort() -> None:
+        # fail-fast paths must not leak the loop-tuned session conf or
+        # the build caches
+        adj.unpersist()
+        verts.unpersist()
+        if hubs_df is not None:
+            hubs_df.unpersist()
+        if owned_edges is not None:
+            owned_edges.unpersist()
+        if id_map is not None:
+            id_map.unpersist()
+        loop_conf.restore()
+
+    pers = None
+    if personalization is not None:
+        if isinstance(personalization, DataFrame):
+            p_raw = personalization.select(
+                "id",
+                F.col(personalization.columns[1]).cast("double").alias("_pw"),
+            )
+        elif isinstance(personalization, dict):
+            p_raw = spark.createDataFrame(
+                [(k, float(v)) for k, v in personalization.items()],
+                f"id {key_type}, _pw double",
+            )
+        else:
+            p_raw = spark.createDataFrame(
+                [(s, 1.0) for s in personalization], f"id {key_type}, _pw double"
+            )
+        if id_map is not None:
+            p_raw = p_raw.select(F.xxhash64("id").alias("id"), "_pw")
+        # networkx semantics: seeds absent from the graph are dropped
+        # BEFORE normalization; duplicate seed rows merge additively
+        present = (
+            p_raw.join(verts.select("id"), "id", "left_semi")
+            .groupBy("id")
+            .agg(F.sum("_pw").alias("_pw"))
+        )
+        total = present.agg(F.sum("_pw")).collect()[0][0]
+        if total is None or total <= 0.0:
+            _abort()
+            raise ValueError(
+                "personalization has no positive mass on graph vertices"
+            )
+        pers = present.select(
+            "id", (F.col("_pw") / F.lit(float(total))).alias("_p")
+        )
+
     start_iter = 0
-    ranks = verts.select("id", "dangling", F.lit(1.0 / n).alias("rank"))
+    if pers is not None:
+        ranks = verts.join(pers, "id", "left").select(
+            "id",
+            "dangling",
+            F.coalesce("_p", F.lit(0.0)).alias("_p"),
+            F.lit(1.0 / n).alias("rank"),
+        )
+    else:
+        ranks = verts.select("id", "dangling", F.lit(1.0 / n).alias("rank"))
     dangling_mass = n_dangling / n
     if resume and checkpoint is not None:
         try:
@@ -274,21 +346,20 @@ def pagerank(
                 spark, expected_id_type="bigint" if encode_ids else "string"
             )
         except Exception:
-            # fail-fast paths (id-coding mismatch) must not leak the
-            # loop-tuned session conf or the build caches
-            adj.unpersist()
-            verts.unpersist()
-            if hubs_df is not None:
-                hubs_df.unpersist()
-            if owned_edges is not None:
-                owned_edges.unpersist()
-            if id_map is not None:
-                id_map.unpersist()
-            loop_conf.restore()
+            _abort()
             raise
         if state is not None:
             start_iter, ranks, metrics = state
             dangling_mass = metrics["dangling_mass"]
+            if ("_p" in ranks.columns) != (pers is not None):
+                _abort()
+                raise ValueError(
+                    "checkpoint personalization mismatch: state "
+                    + ("carries" if "_p" in ranks.columns else "lacks")
+                    + " a teleport column but personalization is "
+                    + ("unset" if pers is None else "set")
+                    + " — resume with the original arguments"
+                )
     ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
     # the handle that OWNS the current rank table's SQL cache entry.
     # When the loop state is re-rooted (localCheckpoint / durable
@@ -364,17 +435,30 @@ def pagerank(
         # as sort-merge, re-SORTING both |V| sides every superstep
         # (same planner gap as the adjacency join above — with
         # broadcasts disabled the planner never selects SHJ unaided).
+        if pers is not None:
+            # personalized: teleport AND dangling mass follow the seed
+            # distribution (_p rides the rank table — no extra join)
+            new_rank = (
+                F.lit(1.0 - damping) * F.col("_p")
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(dangling_mass) * F.col("_p")
+                )
+            )
+            carry = ["id", "dangling", "_p"]
+        else:
+            new_rank = F.lit(base) + F.lit(damping) * (
+                F.coalesce(F.col("contrib"), F.lit(0.0))
+                + F.lit(dangling_mass / n)
+            )
+            carry = ["id", "dangling"]
         stepped = (
             ranks.join(contribs.hint("shuffle_hash"), "id", "left")
             .select(
-                "id",
-                "dangling",
+                *carry,
                 F.col("rank").alias("_prev"),
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_mass / n))
-                ).alias("rank"),
+                new_rank.alias("rank"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

@@ -701,3 +701,173 @@ def test_lpa_encoded_checkpoint_resume(spark, tmp_path):
             edge_df(spark, pairs), max_iter=4, num_partitions=2,
             checkpoint=ck, resume=True, encode_ids=True,
         )
+
+
+# --- personalized PageRank (seeded teleport) --------------------------
+
+
+def np_personalized_pagerank(pairs, seeds, alpha=0.85, tol=1e-10, max_iter=1000):
+    """Dense numpy PPR oracle: teleport and dangling mass follow the
+    seed distribution; seeds absent from the graph dropped before
+    normalization (networkx `personalization=` semantics)."""
+    import numpy as np
+
+    verts = sorted({str(a) for a, _ in pairs} | {str(b) for _, b in pairs})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out = np.zeros(n)
+    for a, _ in pairs:
+        out[idx[str(a)]] += 1
+    p = np.zeros(n)
+    for s, w in seeds.items():
+        if str(s) in idx:
+            p[idx[str(s)]] += w
+    p /= p.sum()
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        for a, b in pairs:
+            contrib[idx[str(b)]] += r[idx[str(a)]] / out[idx[str(a)]]
+        dangling = r[out == 0].sum()
+        new = (1 - alpha) * p + alpha * (contrib + dangling * p)
+        if np.abs(new - r).sum() < tol:
+            r = new
+            break
+        r = new
+    return {v: r[idx[v]] for v in verts}
+
+
+@pytest.mark.parametrize("encode", [True, False], ids=["coded", "uncoded"])
+def test_personalized_pagerank_matches_numpy(spark, encode):
+    """Weighted seed dict, a dangling sink, coded and uncoded paths."""
+    pairs = [(i, (i * 7 + 3) % 25) for i in range(25)] + [
+        (i, (i * 5 + 1) % 25) for i in range(25)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b] + [(7, 99)]  # 99 dangling
+    seeds = {"0": 2.0, "13": 1.0}
+    res = pagerank(
+        edge_df(spark, pairs), tol=1e-9, max_iter=300, num_partitions=4,
+        encode_ids=encode, personalization=seeds,
+    )
+    assert res.converged
+    assert_ranks_close(res, np_personalized_pagerank(pairs, seeds))
+    res.release()
+
+
+def test_personalized_seed_handling(spark):
+    """Seeds absent from the graph are dropped before normalization
+    (list and dict forms agree); zero surviving mass raises without
+    leaking cache entries or loop session conf."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    baseline = cache_mgr.cachedData().size()
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    pairs = ring(12)
+    e = edge_df(spark, pairs)
+    a = pagerank(e, tol=1e-9, max_iter=100, num_partitions=4,
+                 personalization=["0", "zz"])
+    b = pagerank(e, tol=1e-9, max_iter=100, num_partitions=4,
+                 personalization={"0": 3.0})
+    ga = {r["id"]: r["rank"] for r in a.ranks.collect()}
+    gb = {r["id"]: r["rank"] for r in b.ranks.collect()}
+    for k in ga:
+        assert abs(ga[k] - gb[k]) < 1e-12
+    a.release()
+    b.release()
+    with pytest.raises(ValueError, match="no positive mass"):
+        pagerank(e, num_partitions=4, personalization=["zz"])
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe
+    assert cache_mgr.cachedData().size() == baseline
+
+
+def test_personalized_all_vertices_equals_uniform(spark):
+    """Equal personalization over EVERY vertex is the uniform teleport —
+    the personalized formula must reduce to standard PageRank exactly
+    (same fixture, same superstep count)."""
+    pairs = ring(10) + star(6)
+    ids = sorted({str(a) for a, _ in pairs} | {str(b) for _, b in pairs})
+    base = pagerank(edge_df(spark, pairs), tol=-1.0, max_iter=8, num_partitions=4)
+    pers = pagerank(
+        edge_df(spark, pairs), tol=-1.0, max_iter=8, num_partitions=4,
+        personalization=ids,
+    )
+    a = {r["id"]: r["rank"] for r in base.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in pers.ranks.collect()}
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
+    base.release()
+    pers.release()
+
+
+def test_personalized_checkpoint_resume_and_mismatch(spark, tmp_path):
+    """Mid-iteration resume carries the teleport column in the state;
+    resuming a personalized checkpoint without personalization (or vice
+    versa) fails fast."""
+    from graph_engine_spark.graph.checkpoint import CheckpointManager
+
+    pairs = [(i, (i + 1) % 20) for i in range(20)] + [(i, 0) for i in range(1, 10)]
+    seeds = {"0": 1.0, "5": 2.0}
+    df = lambda: edge_df(spark, pairs)  # noqa: E731
+    full = pagerank(df(), tol=1e-10, max_iter=20, num_partitions=4,
+                    personalization=seeds)
+    ck = CheckpointManager(str(tmp_path / "pck"), every_k=3)
+    partial = pagerank(df(), tol=1e-10, max_iter=6, num_partitions=4,
+                       personalization=seeds, checkpoint=ck)
+    assert not partial.converged and ck.iterations()
+    with pytest.raises(ValueError, match="personalization mismatch"):
+        pagerank(df(), tol=1e-10, max_iter=20, num_partitions=4,
+                 checkpoint=ck, resume=True)
+    resumed = pagerank(df(), tol=1e-10, max_iter=20, num_partitions=4,
+                       personalization=seeds, checkpoint=ck, resume=True)
+    assert resumed.iterations == full.iterations == 20
+    got_full = {r["id"]: r["rank"] for r in full.ranks.collect()}
+    got_res = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+    for k in got_full:
+        assert abs(got_full[k] - got_res[k]) < 1e-9
+    full.release()
+    partial.release()
+    resumed.release()
+
+
+def test_weighted_personalized_pagerank_matches_numpy(spark):
+    """weight_col and personalization compose: weighted contribution
+    split, seeded teleport/dangling."""
+    import numpy as np
+
+    wpairs = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (3, 0, 5.0), (1, 3, 0.5), (2, 4, 4.0),
+    ]
+    seeds = {"1": 1.0, "3": 3.0}
+    res = pagerank(
+        weighted_edge_df(spark, wpairs), tol=1e-9, max_iter=300,
+        num_partitions=4, weight_col="w", personalization=seeds,
+    )
+    # numpy oracle: weighted split + seeded teleport
+    live = [(str(a), str(b), w) for a, b, w in wpairs if w > 0]
+    verts = sorted({a for a, _, _ in live} | {b for _, b, _ in live})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    W = np.zeros((n, n))
+    for a, b, w in live:
+        W[idx[a], idx[b]] += w
+    out = W.sum(axis=1)
+    p = np.zeros(n)
+    for s, w in seeds.items():
+        p[idx[s]] += w
+    p /= p.sum()
+    r = np.full(n, 1.0 / n)
+    for _ in range(1000):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out[i] > 0:
+                contrib += r[i] * W[i] / out[i]
+        dangling = r[out == 0].sum()
+        new = (1 - 0.85) * p + 0.85 * (contrib + dangling * p)
+        if np.abs(new - r).sum() < 1e-10:
+            r = new
+            break
+        r = new
+    oracle = {v: r[idx[v]] for v in verts}
+    assert res.converged
+    assert_ranks_close(res, oracle)
+    res.release()
