@@ -154,13 +154,21 @@ def bfs_k_hops(
         rounds: list[float] = []
         while hop < max_hops:
             t0 = time.time()
+            # shuffle_hash hints: under the loop conf broadcasts are off,
+            # which also disables the planner's own shuffled-hash
+            # selection (canBuildLocalHashMap keys off the broadcast
+            # threshold) — without the hints both joins degrade to
+            # sort-merge and re-SORT the cached adjacency/visited set
+            # every round (see pagerank.py's superstep join note;
+            # guarded by tests/test_plan_shapes.py)
             nxt = (
                 adj.join(
-                    frontier.withColumnRenamed("id", "u"), "u"
+                    frontier.withColumnRenamed("id", "u").hint("shuffle_hash"),
+                    "u",
                 )
                 .select(F.col("v").alias("id"))
                 .distinct()
-                .join(visited, "id", "left_anti")
+                .join(visited.hint("shuffle_hash"), "id", "left_anti")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             n_new = nxt.count()
@@ -241,9 +249,16 @@ def k_core(
                 .filter(F.col("d") >= k)
                 .select("u")
             )
+            # shuffle_hash on the (shrinking) keep side — same planner
+            # gap as the BFS joins above: hintless semi-joins under the
+            # loop conf re-sort the cached edge set every peel round
             pruned = (
-                und.join(keep, "u", "left_semi")
-                .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+                und.join(keep.hint("shuffle_hash"), "u", "left_semi")
+                .join(
+                    keep.withColumnRenamed("u", "v").hint("shuffle_hash"),
+                    "v",
+                    "left_semi",
+                )
                 .select("u", "v")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )

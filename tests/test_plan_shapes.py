@@ -296,3 +296,101 @@ def test_winnowing_short_docs_never_shuffle_text(spark):
     head = "\n".join(lines[:union_at])
     assert "MapInPandas" in head, tree
     assert head.count("Exchange") == 1 and "ENSURE_REQUIREMENTS" in head, tree
+
+
+def test_bfs_round_plan_no_sort_no_adjacency_exchange(spark):
+    """A BFS round under the loop conf must be shuffled-hash end to end:
+    no sort-merge degradation (which would re-SORT the cached adjacency
+    every round) and no live Exchange on the adjacency branch — only the
+    frontier/visited/aggregation shuffles."""
+    from pyspark.storagelevel import StorageLevel
+    from graph_engine_spark.graph.pagerank import _IterLoopConf
+
+    loop_conf = _IterLoopConf(spark, 4)
+    try:
+        edges = spark.createDataFrame(
+            [(str(i), str((i * 3) % 40)) for i in range(200)], ["src", "dst"]
+        )
+        adj = (
+            edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .repartition(4, "u")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        adj.count()
+        frontier = spark.createDataFrame([("0",), ("3",)], ["id"])
+        visited = frontier.select("id", F.lit(0).alias("dist")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        visited.count()
+        # same shape as bfs_k_hops' round body, incl. the hints
+        nxt = (
+            adj.join(
+                frontier.withColumnRenamed("id", "u").hint("shuffle_hash"), "u"
+            )
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited.hint("shuffle_hash"), "id", "left_anti")
+        )
+        plan = plan_of(nxt)
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        # count over the tree section only ("formatted" repeats every
+        # node in the detail listing below)
+        assert plan.split("\n\n")[0].count("ShuffledHashJoin") == 2, plan
+        # no live Exchange may touch the cached adjacency subtree
+        tree = plan.split("\n\n")[0].splitlines()
+        rel_indent = None
+        live_exchanges = 0
+        for line in tree:
+            indent = len(line) - len(line.lstrip(" :+-*"))
+            if rel_indent is not None and indent > rel_indent:
+                continue
+            rel_indent = None
+            if "InMemoryRelation" in line:
+                rel_indent = indent
+            elif "Exchange" in line:
+                live_exchanges += 1
+        # frontier shuffle + distinct agg shuffle + visited (anti) shuffle
+        assert live_exchanges <= 3, plan
+        adj.unpersist()
+        visited.unpersist()
+    finally:
+        loop_conf.restore()
+
+
+def test_kcore_round_plan_is_shuffled_hash(spark):
+    """One k-core peel round: hinted semi-joins must plan as shuffled
+    hash, never sort-merge over the cached edge set."""
+    from pyspark.storagelevel import StorageLevel
+    from graph_engine_spark.graph.pagerank import _IterLoopConf
+
+    loop_conf = _IterLoopConf(spark, 4)
+    try:
+        edges = spark.createDataFrame(
+            [(str(i), str((i * 3) % 40)) for i in range(200)], ["src", "dst"]
+        )
+        base = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        und = (
+            base.unionByName(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .repartition(4, "u")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        und.count()
+        keep = (
+            und.groupBy("u").agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= 3).select("u")
+        )
+        pruned = (
+            und.join(keep.hint("shuffle_hash"), "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v").hint("shuffle_hash"), "v", "left_semi")
+            .select("u", "v")
+        )
+        plan = plan_of(pruned)
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.split("\n\n")[0].count("ShuffledHashJoin") == 2, plan
+        und.unpersist()
+    finally:
+        loop_conf.restore()
