@@ -231,7 +231,16 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     queries["function_call_graph"] = round(t_cg, 3)
     cg.unpersist()
 
-    t_pr, pr = stage("pagerank_to_1e6", lambda: pagerank(mg, tol=1e-6, max_iter=200))
+    def _released(r):
+        # harvest happens via plain dataclass attrs — release the result
+        # frames inside the stage fn so rejected-bracket retries are
+        # leak-free (same pattern as the CC/LPA stages below)
+        r.release()
+        return r
+
+    t_pr, pr = stage(
+        "pagerank_to_1e6", lambda: _released(pagerank(mg, tol=1e-6, max_iter=200))
+    )
     queries["pagerank_to_1e6"] = round(t_pr, 3)
 
     # salting evidence: same 6 supersteps with and without degree-
@@ -240,9 +249,13 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     # two-stage path and every other key on the single-stage agg)
     t_salt6, _ = stage(
         "salted_6steps",
-        lambda: pagerank(mg, tol=-1.0, max_iter=6, salt_buckets=8, salt_degree_threshold=200),
+        lambda: _released(
+            pagerank(mg, tol=-1.0, max_iter=6, salt_buckets=8, salt_degree_threshold=200)
+        ),
     )
-    t_plain6, _ = stage("unsalted_6steps", lambda: pagerank(mg, tol=-1.0, max_iter=6))
+    t_plain6, _ = stage(
+        "unsalted_6steps", lambda: _released(pagerank(mg, tol=-1.0, max_iter=6))
+    )
 
     # weighted-variant evidence adjacent to the unweighted baseline:
     # deterministic per-edge weight, same 6 supersteps — the delta vs
@@ -253,7 +266,7 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     )
     t_weighted6, _ = stage(
         "weighted_6steps",
-        lambda: pagerank(mg_w, tol=-1.0, max_iter=6, weight_col="w"),
+        lambda: _released(pagerank(mg_w, tol=-1.0, max_iter=6, weight_col="w")),
     )
 
     # durable-checkpoint evidence at bench scale (north rule: resumable
@@ -266,7 +279,7 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     def _ck6():
         with tempfile.TemporaryDirectory(prefix="bench_ck_") as ckdir:
             ck = CheckpointManager(ckdir, every_k=5, keep_last=1)
-            return pagerank(mg, tol=-1.0, max_iter=6, checkpoint=ck)
+            return _released(pagerank(mg, tol=-1.0, max_iter=6, checkpoint=ck))
 
     t_ck6, _ = stage("checkpointed_6steps", _ck6)
 
@@ -349,7 +362,7 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     lpa_oh = interleaved_overhead("lpa_ck_overhead", _lpa_ck, _lpa_plain, windows)
     t_lpa_ck = lpa_oh["ck_sec"]
 
-    t_tri, tri = stage("triangle_count", lambda: triangle_count(mg))
+    t_tri, tri = stage("triangle_count", lambda: _released(triangle_count(mg)))
     queries["triangle_count"] = round(t_tri, 3)
     mg.unpersist()  # last consumer of the link graph (leak fix, ADVICE r2)
 

@@ -15,7 +15,7 @@ AQE picks broadcast for the degree dim when small.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,6 +26,18 @@ from pyspark.storagelevel import StorageLevel
 class TriangleResult:
     total: int
     per_vertex: DataFrame  # (id, triangles)
+    # cache entries this run owns (the materialized triangle table
+    # behind per_vertex and the encode-path id dictionary) — same
+    # release() contract as PageRankResult/ComponentsResult/LPAResult
+    _owned: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist the triangle table and id dictionary the
+        per_vertex plan reads. The frame stays valid but replays its
+        lineage on next evaluation — materialize first."""
+        self.per_vertex.unpersist()
+        for df in self._owned:
+            df.unpersist()
 
 
 def triangle_count(
@@ -89,6 +101,7 @@ def triangle_count(
         res = TriangleResult(
             res.total,
             pv.join(id_map, pv.id == id_map.vid).select(id_map.id, pv.triangles),
+            res._owned + [id_map],
         )
     return res
 
@@ -143,7 +156,9 @@ def _triangle_count(und: DataFrame) -> TriangleResult:
         .agg(F.count("*").alias("triangles"))
     )
     und.unpersist()
-    return TriangleResult(total, per_vertex)
+    # tris stays persisted (per_vertex reads it) — owned, so the
+    # caller's release() frees it deterministically
+    return TriangleResult(total, per_vertex, [tris])
 
 
 def clustering_coefficient(
@@ -178,10 +193,11 @@ def clustering_coefficient(
         owned_edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
         edges = owned_edges
     try:
-        pv = triangle_count(
+        tr = triangle_count(
             edges, src=src, dst=dst, num_partitions=num_partitions,
             encode_ids=encode_ids,
-        ).per_vertex
+        )
+        pv = tr.per_vertex
         und = (
             edges.select(
                 F.least(F.col(src), F.col(dst)).alias("a"),
@@ -209,7 +225,12 @@ def clustering_coefficient(
             .otherwise(F.lit(0.0))
             .alias("coeff"),
         )
-        return result.localCheckpoint(eager=True)
+        out = result.localCheckpoint(eager=True)
+        # the eager checkpoint has materialized the result — the inner
+        # run's triangle table / id dictionary can be released (they
+        # were orphaned per call before round 5)
+        tr.release()
+        return out
     finally:
         if owned_edges is not None:
             owned_edges.unpersist()

@@ -402,6 +402,18 @@ def test_iterative_loops_leave_no_orphaned_cache_entries(spark):
     lpa.release()
     assert cache_mgr.cachedData().size() == baseline
 
+    # triangles: the persisted triangle table behind per_vertex and the
+    # id dictionary are owned; clustering_coefficient releases its inner
+    # run itself (both orphaned one entry per call before round 5)
+    tri = triangle_count(edges, num_partitions=4)
+    tri.per_vertex.count()
+    tri.release()
+    assert cache_mgr.cachedData().size() == baseline
+    from graph_engine_spark.graph.triangles import clustering_coefficient
+
+    clustering_coefficient(edges, num_partitions=4).count()
+    assert cache_mgr.cachedData().size() == baseline
+
 
 # --- weighted PageRank (edge weights = e.g. dynamic_call_count) -------
 
