@@ -364,6 +364,48 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
 
     t_tri, tri = stage("triangle_count", lambda: _released(triangle_count(mg)))
     queries["triangle_count"] = round(t_tri, 3)
+
+    # round-5 additions on the same link graph: bounded traversals
+    # (graph/traversal.py) from the two highest-out-degree modules —
+    # deterministic seeds — and personalized PageRank at the same fixed
+    # 6 supersteps as the weighted arm (delta vs unsalted_6steps is the
+    # cost of the per-vertex teleport column riding the rank table)
+    from graph_engine_spark.graph.traversal import bfs_k_hops, k_core
+
+    seeds = [
+        r["id"]
+        for r in mg.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), "id")
+        .limit(2)
+        .collect()
+    ]
+
+    def _bfs_run():
+        r = bfs_k_hops(mg, seeds, max_hops=3)
+        n = r.distances.count()
+        r.release()
+        return n
+
+    t_bfs, n_bfs_reached = stage("bfs_3hops", _bfs_run, attempts=2)
+    queries["bfs_3hops"] = round(t_bfs, 3)
+
+    def _kcore_run():
+        r = k_core(mg, k=3)
+        n = r.vertices.count()
+        iters = r.iterations
+        r.release()
+        return n, iters
+
+    t_kc, (n_core_verts, kc_rounds) = stage("k_core3", _kcore_run, attempts=2)
+    queries["k_core3"] = round(t_kc, 3)
+
+    t_ppr6, _ = stage(
+        "personalized_6steps",
+        lambda: _released(
+            pagerank(mg, tol=-1.0, max_iter=6, personalization=seeds)
+        ),
+    )
     mg.unpersist()  # last consumer of the link graph (leak fix, ADVICE r2)
 
     # streaming maintenance throughput (VERDICT r4 #5): drive the exact
@@ -455,6 +497,10 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
         if cc_rounds and sum(cc_rounds) > 0
         else None,
         "triangles": tri.total,
+        "bfs_reached": n_bfs_reached,
+        "kcore_vertices": n_core_verts,
+        "kcore_rounds": kc_rounds,
+        "personalized_6steps_sec": round(t_ppr6, 3),
         "salted_6steps_sec": round(t_salt6, 3),
         "unsalted_6steps_sec": round(t_plain6, 3),
         "weighted_6steps_sec": round(t_weighted6, 3),
@@ -648,6 +694,10 @@ def main() -> None:
     # file's "detail" block), dropping the whole dict only as a last
     # resort
     trim_order = (
+        "bfs_reached",
+        "kcore_vertices",
+        "kcore_rounds",
+        "personalized_6steps_sec",
         "cc_round_seconds",
         "checkpoint_overhead_raw_per_superstep_sec",
         "cc_plain_rerun_sec",
