@@ -504,6 +504,41 @@ def _q_kcore_sql(spark, sf_dir):
     return res.vertices.select(F.col("id").cast("int").alias("id"), "core_deg")
 
 
+def _q_sssp_sql(spark, sf_dir):
+    """Multi-source weighted shortest paths (graph/traversal.py:sssp)
+    over the BFS test graph with deterministic integer weights
+    w = (src*3 + dst*5) % 7 + 1 — the weighted generalization of the
+    reference's neighbor-chain walks ("cheapest call chain", e.g.
+    weighting by dynamic_call_count). max_rounds=25 exceeds the longest
+    simple path on 25 vertices, so the run converges and the distances
+    are exact; integer weights summed in doubles are exact, so the INT
+    cast hash-matches the oracle bit-for-bit."""
+    from graph_engine_spark.graph.traversal import sssp
+
+    n = _load(spark, sf_dir, "nation")
+    e1 = n.select(
+        F.col("n_nationkey").cast("int").alias("src"),
+        ((F.col("n_nationkey") * 7 + 3) % 25).cast("int").alias("dst"),
+    )
+    e2 = n.select(
+        F.col("n_nationkey").cast("int").alias("src"),
+        ((F.col("n_regionkey") * 5) % 25).cast("int").alias("dst"),
+    )
+    edges = (
+        e1.unionByName(e2)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn(
+            "w", ((F.col("src") * 3 + F.col("dst") * 5) % 7 + 1).cast("double")
+        )
+    )
+    res = sssp(edges, [0, 13], weight_col="w", max_rounds=25, num_partitions=8)
+    return res.distances.select(
+        F.col("id").cast("int").alias("id"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     """Heuristic language-ID (training-data pipeline op, pipelines/text.py)."""
     from graph_engine_spark.pipelines.text import lang_id
@@ -856,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components_sql,
         "bfs_3hops": _q_bfs_sql,
         "k_core": _q_kcore_sql,
+        "sssp_weighted": _q_sssp_sql,
         "triangle_count": _q_triangles_sql,
         "clustering_coefficient": _q_clustering_coeff_sql,
         "label_propagation": _q_lpa_sql,
@@ -1057,6 +1093,30 @@ reach AS (
   UNION
   SELECT e.dst AS id, r.dist + 1 AS dist
   FROM reach r JOIN e ON e.src = r.id WHERE r.dist < 3
+)
+SELECT id, CAST(MIN(dist) AS INT) AS dist FROM reach GROUP BY id
+"""
+
+
+_SSSP_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT src, dst, (src * 3 + dst * 5) % 7 + 1 AS w FROM (
+    SELECT DISTINCT CAST(src AS INT) AS src, CAST(dst AS INT) AS dst FROM (
+      SELECT n_nationkey AS src, (n_nationkey * 7 + 3) % 25 AS dst FROM nation
+      UNION ALL
+      SELECT n_nationkey AS src, (n_regionkey * 5) % 25 AS dst FROM nation
+    ) WHERE src <> dst
+  )
+),
+-- bounded-hop path enumeration: a shortest path over 25 vertices uses
+-- <= 24 edges, so MIN(dist) over hops <= 24 is the exact Dijkstra
+-- answer (the SQL twin of sssp()'s converged relaxation fixpoint)
+reach AS (
+  SELECT CAST(id AS INT) AS id, 0 AS dist, 0 AS hops
+  FROM (VALUES (0), (13)) t(id)
+  UNION
+  SELECT e.dst AS id, r.dist + e.w AS dist, r.hops + 1 AS hops
+  FROM reach r JOIN e ON e.src = r.id WHERE r.hops < 24
 )
 SELECT id, CAST(MIN(dist) AS INT) AS dist FROM reach GROUP BY id
 """
@@ -1808,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized_5steps": prp,
         "connected_components": cc,
         "bfs_3hops": _BFS_ORACLE,
+        "sssp_weighted": _SSSP_ORACLE,
         "k_core": _KCORE_ORACLE.format(
             steps=",".join(_kcore_step(i, 3) for i in range(1, 7)).lstrip(",")
         ),

@@ -370,7 +370,7 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
     # deterministic seeds — and personalized PageRank at the same fixed
     # 6 supersteps as the weighted arm (delta vs unsalted_6steps is the
     # cost of the per-vertex teleport column riding the rank table)
-    from graph_engine_spark.graph.traversal import bfs_k_hops, k_core
+    from graph_engine_spark.graph.traversal import bfs_k_hops, k_core, sssp
 
     seeds = [
         r["id"]
@@ -399,6 +399,24 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
 
     t_kc, (n_core_verts, kc_rounds) = stage("k_core3", _kcore_run, attempts=2)
     queries["k_core3"] = round(t_kc, 3)
+
+    def _sssp_run():
+        # deterministic integer weights 1..7 hashed from the edge key:
+        # the "cheapest import chain" weighted generalization of the
+        # bfs_3hops stage, run to a fixed round budget for a stable unit
+        wmg = mg.withColumn(
+            "w", (F.pmod(F.xxhash64("src", "dst"), F.lit(7)) + 1).cast("double")
+        )
+        r = sssp(wmg, seeds, weight_col="w", max_rounds=6)
+        n = r.distances.count()
+        rounds = r.rounds
+        r.release()
+        return n, rounds
+
+    t_sssp, (n_sssp_reached, sssp_rounds) = stage(
+        "sssp_6rounds", _sssp_run, attempts=2
+    )
+    queries["sssp_6rounds"] = round(t_sssp, 3)
 
     t_ppr6, _ = stage(
         "personalized_6steps",
@@ -500,6 +518,8 @@ def run_pipeline(spark) -> tuple[dict, dict, dict]:
         "bfs_reached": n_bfs_reached,
         "kcore_vertices": n_core_verts,
         "kcore_rounds": kc_rounds,
+        "sssp_reached": n_sssp_reached,
+        "sssp_rounds": sssp_rounds,
         "personalized_6steps_sec": round(t_ppr6, 3),
         "salted_6steps_sec": round(t_salt6, 3),
         "unsalted_6steps_sec": round(t_plain6, 3),
@@ -697,6 +717,8 @@ def main() -> None:
         "bfs_reached",
         "kcore_vertices",
         "kcore_rounds",
+        "sssp_reached",
+        "sssp_rounds",
         "personalized_6steps_sec",
         "cc_round_seconds",
         "checkpoint_overhead_raw_per_superstep_sec",

@@ -1,8 +1,9 @@
-"""Bounded traversals over the edge table: k-hop BFS and k-core.
+"""Bounded traversals over the edge table: k-hop BFS, k-core, SSSP.
 
-Two classic link-graph operators the reference's query surface implies
-but never generalizes (its 1-hop/2-hop scans — graph_core/graph.py
-neighbor lookups — are the k=1/k=2 special cases of BFS here):
+Three classic link-graph operators the reference's query surface
+implies but never generalizes (its 1-hop/2-hop scans —
+graph_core/graph.py neighbor lookups — are the k=1/k=2 special cases
+of BFS here, and BFS itself is the unit-weight special case of SSSP):
 
 - ``bfs_k_hops``: multi-source shortest hop-distance, bounded at k.
   Frontier-at-a-time BFS as DataFrame joins — each round shuffles ONLY
@@ -12,6 +13,16 @@ neighbor lookups — are the k=1/k=2 special cases of BFS here):
   is the "transitive imports up to depth k" query a code graph answers
   constantly; at 10^12-file scale the frontier is tiny relative to the
   edge table, which is exactly the asymmetry this plan exploits.
+
+- ``sssp``: multi-source single-source-shortest-paths by frontier
+  Bellman–Ford relaxation — the weighted generalization of
+  ``bfs_k_hops`` (edge weights from e.g. the reference's
+  ``dynamic_call_count`` annotations turn "how many hops" into "how
+  hot is the cheapest call chain"). Each round relaxes only the
+  vertices whose distance improved last round against the persisted
+  adjacency, so the per-round shuffle is the improving frontier, not
+  the graph; converged means exact shortest distances (non-negative
+  weights are enforced).
 
 - ``k_core``: iterative degree peeling (Matula–Beck coreness, the
   distributed round-synchronous variant): drop every vertex with
@@ -75,6 +86,180 @@ class KCoreResult:
         self.vertices.unpersist()
         for df in self._owned:
             df.unpersist()
+
+
+@dataclass
+class SSSPResult:
+    distances: DataFrame  # (id, dist) — min weighted distance from the source set
+    rounds: int  # relaxation rounds that improved at least one vertex
+    converged: bool  # True: a round improved nothing — distances are exact
+    round_seconds: list = field(default_factory=list)
+    _owned: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Same contract as BFSResult.release()."""
+        self.distances.unpersist()
+        for df in self._owned:
+            df.unpersist()
+
+
+def sssp(
+    edges: DataFrame,
+    sources,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    max_rounds: int = 30,
+    direction: str = "out",
+    num_partitions: int | None = None,
+) -> SSSPResult:
+    """Minimum weighted distance from a source set (multi-source SSSP)
+    by round-synchronous Bellman–Ford relaxation.
+
+    sources: a list of vertex ids or a DataFrame with an ``id`` column
+    (same contract as ``bfs_k_hops``). weight_col: edge weight column,
+    cast to double; ``None`` means unit weights (= hop distance, BFS
+    semantics but with re-relaxation — useful only for parity tests).
+    Negative weights raise: bounded-round Bellman–Ford cannot certify
+    them, and the "converged ⇒ exact" contract below would silently
+    break on a negative cycle.
+
+    Returns (id, dist) for every vertex whose best path from the
+    sources uses at most ``max_rounds`` edges, sources included at
+    dist 0. When ``converged`` is True the distances are THE shortest
+    distances (a relaxation fixpoint with non-negative weights); when
+    False they are exact over ≤max_rounds-edge paths — still a valid
+    anytime answer for "cheapest call chain within depth k".
+
+    Scale shape (same asymmetry as BFS, plus relaxation): parallel
+    edges collapse to MIN(w) once at build; the adjacency is
+    hash-partitioned by the join key once and persisted; each round
+    shuffles the IMPROVING frontier (join), its candidates (min-agg on
+    the same key the dists table is keyed on), and the improvement
+    anti-join — all keyed on the vertex id, never the edge table. On a
+    1000-executor run the frontier after the first rounds is a small
+    fraction of |V| while the |E|-sized side never moves.
+    """
+    spark = edges.sparkSession
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out|in|both, got {direction!r}")
+
+    if isinstance(sources, DataFrame):
+        src_df = sources.select("id").distinct()
+    else:
+        key_type = dict(edges.dtypes)[src]
+        src_df = spark.createDataFrame(
+            [(s,) for s in sources], f"id {key_type}"
+        ).distinct()
+
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), w.alias("w"))
+    if direction == "out":
+        adj = fwd
+    elif direction == "in":
+        adj = rev
+    else:
+        adj = fwd.unionByName(rev)
+    # parallel edges: only the cheapest can ever win a relaxation
+    adj = (
+        adj.filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+
+    if num_partitions is None:
+        num_partitions = partitions_for_count(edges.count(), spark)
+    loop_conf = _IterLoopConf(spark, num_partitions)
+    try:
+        adj = adj.repartition(num_partitions, "u").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        adj.count()
+        if adj.filter(F.col("w") < 0).limit(1).count() > 0:
+            adj.unpersist()
+            raise ValueError(
+                "sssp requires non-negative edge weights (negative-cycle "
+                "detection is out of contract; see docstring)"
+            )
+
+        dists = src_df.select("id", F.lit(0.0).alias("dist")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        dists.count()
+        frontier = dists  # round 0 relaxes out of the sources themselves
+        dists_cached = dists
+        frontier_cached: DataFrame | None = None  # sources ride dists_cached
+
+        rnd = 0
+        converged = False
+        rounds_t: list[float] = []
+        while rnd < max_rounds:
+            t0 = time.time()
+            # shuffle_hash hints: same planner gap as the BFS loop above
+            # (broadcasts off under the loop conf disables the planner's
+            # own SHJ selection; hintless joins re-sort the cached
+            # adjacency/dists every round)
+            cand = (
+                adj.join(
+                    frontier.select(
+                        F.col("id").alias("u"), F.col("dist").alias("_du")
+                    ).hint("shuffle_hash"),
+                    "u",
+                )
+                .select("v", (F.col("_du") + F.col("w")).alias("_nd"))
+                .groupBy("v")
+                .agg(F.min("_nd").alias("_nd"))
+                .select(F.col("v").alias("id"), "_nd")
+            )
+            improved = (
+                cand.join(dists.hint("shuffle_hash"), "id", "left")
+                .filter(F.col("dist").isNull() | (F.col("_nd") < F.col("dist")))
+                .select("id", F.col("_nd").alias("dist"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            n_imp = improved.count()
+            if n_imp == 0:
+                improved.unpersist()
+                rounds_t.append(time.time() - t0)
+                converged = True
+                break
+            rnd += 1
+            new_dists = (
+                dists.join(improved.hint("shuffle_hash"), "id", "left_anti")
+                .unionByName(improved)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            new_dists.count()
+            if dists_cached is not None:
+                dists_cached.unpersist()
+            if frontier_cached is not None:
+                frontier_cached.unpersist()
+            dists, dists_cached = new_dists, new_dists
+            frontier, frontier_cached = improved, improved
+            if rnd % 2 == 0 and rnd < max_rounds:
+                # truncate the union-per-round lineage
+                dists = dists.localCheckpoint(eager=True)
+                dists_cached.unpersist()
+                dists_cached = None
+            rounds_t.append(time.time() - t0)
+
+        adj.unpersist()
+        # after an odd final round dists_cached IS the result frame
+        # (released via .distances); frontier_cached is always a
+        # distinct frame once any round ran
+        owned = [
+            f
+            for f in (dists_cached, frontier_cached)
+            if f is not None and f is not dists
+        ]
+        return SSSPResult(dists, rnd, converged, rounds_t, owned)
+    finally:
+        loop_conf.restore()
 
 
 def bfs_k_hops(

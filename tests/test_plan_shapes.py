@@ -394,3 +394,59 @@ def test_kcore_round_plan_is_shuffled_hash(spark):
         und.unpersist()
     finally:
         loop_conf.restore()
+
+
+def test_sssp_round_plan_is_shuffled_hash(spark):
+    """One SSSP relaxation round (graph/traversal.py:sssp): the
+    frontier join and the candidate-vs-dists improvement join must plan
+    as shuffled hash under the loop conf — sort-merge would re-SORT the
+    cached adjacency and the dists table every round."""
+    from pyspark.storagelevel import StorageLevel
+    from graph_engine_spark.graph.pagerank import _IterLoopConf
+
+    loop_conf = _IterLoopConf(spark, 4)
+    try:
+        edges = spark.createDataFrame(
+            [(str(i), str((i * 3) % 40), float(i % 5 + 1)) for i in range(200)],
+            ["src", "dst", "w"],
+        )
+        adj = (
+            edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+            .filter(F.col("u") != F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.min("w").alias("w"))
+            .repartition(4, "u")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        adj.count()
+        dists = spark.createDataFrame(
+            [("0", 0.0), ("3", 0.0)], ["id", "dist"]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        dists.count()
+        frontier = dists
+        # same shape as sssp's round body, incl. the hints
+        cand = (
+            adj.join(
+                frontier.select(
+                    F.col("id").alias("u"), F.col("dist").alias("_du")
+                ).hint("shuffle_hash"),
+                "u",
+            )
+            .select("v", (F.col("_du") + F.col("w")).alias("_nd"))
+            .groupBy("v")
+            .agg(F.min("_nd").alias("_nd"))
+            .select(F.col("v").alias("id"), "_nd")
+        )
+        improved = (
+            cand.join(dists.hint("shuffle_hash"), "id", "left")
+            .filter(F.col("dist").isNull() | (F.col("_nd") < F.col("dist")))
+            .select("id", F.col("_nd").alias("dist"))
+        )
+        plan = plan_of(improved)
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        assert plan.split("\n\n")[0].count("ShuffledHashJoin") == 2, plan
+        adj.unpersist()
+        dists.unpersist()
+    finally:
+        loop_conf.restore()

@@ -10,7 +10,7 @@ import networkx as nx
 import pytest
 from pyspark.sql import functions as F
 
-from graph_engine_spark.graph.traversal import bfs_k_hops, k_core
+from graph_engine_spark.graph.traversal import bfs_k_hops, k_core, sssp
 
 
 def edge_df(spark, pairs):
@@ -124,6 +124,96 @@ def test_kcore_empty_core(spark):
     res.release()
 
 
+def wedge_df(spark, triples):
+    return spark.createDataFrame(
+        [(str(a), str(b), float(w)) for a, b, w in triples],
+        ["src", "dst", "w"],
+    )
+
+
+def test_sssp_relaxes_past_the_bfs_answer(spark):
+    # direct edge costs 10; the 2-hop detour costs 4 — SSSP must
+    # OVERWRITE a vertex it already reached (the semantics BFS lacks)
+    triples = [("a", "z", 10), ("a", "m", 2), ("m", "z", 2)]
+    res = sssp(wedge_df(spark, triples), ["a"], weight_col="w", num_partitions=4)
+    got = {r.id: r.dist for r in res.distances.collect()}
+    assert got == {"a": 0.0, "m": 2.0, "z": 4.0}
+    assert res.converged
+    res.release()
+
+
+def test_sssp_matches_networkx_multi_source_dijkstra(spark):
+    triples = [
+        (i, (i * 7 + 3) % 25, (i * 3 + ((i * 7 + 3) % 25) * 5) % 7 + 1)
+        for i in range(25)
+    ] + [
+        (i, (i * 5 + 1) % 25, (i * 11 + ((i * 5 + 1) % 25)) % 5 + 1)
+        for i in range(25)
+    ]
+    triples = [(a, b, w) for a, b, w in triples if a != b]
+    g = nx.DiGraph()
+    for a, b, w in triples:
+        # parallel edges collapse to MIN(w) (sssp's build rule)
+        if g.has_edge(str(a), str(b)):
+            w = min(w, g[str(a)][str(b)]["weight"])
+        g.add_edge(str(a), str(b), weight=w)
+    want = {}
+    for s in ("0", "13"):
+        for v, d in nx.single_source_dijkstra_path_length(
+            g, s, weight="weight"
+        ).items():
+            want[v] = min(want.get(v, d), float(d))
+    res = sssp(wedge_df(spark, triples), ["0", "13"], weight_col="w")
+    got = {r.id: r.dist for r in res.distances.collect()}
+    assert got == want
+    assert res.converged
+    res.release()
+
+
+def test_sssp_unit_weights_match_bfs(spark):
+    pairs = [(i, (i * 7 + 3) % 25) for i in range(25)] + [
+        (i, (i * 5 + 1) % 25) for i in range(25)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = edge_df(spark, pairs)
+    b = bfs_k_hops(e, ["0"], max_hops=25)
+    s = sssp(e, ["0"], max_rounds=25)
+    assert {r.id: float(r.dist) for r in b.distances.collect()} == {
+        r.id: r.dist for r in s.distances.collect()
+    }
+    assert s.converged
+    b.release()
+    s.release()
+
+
+def test_sssp_direction_and_round_bound(spark):
+    triples = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
+    e = wedge_df(spark, triples)
+    rin = sssp(e, ["c"], weight_col="w", direction="in", num_partitions=4)
+    assert {r.id: r.dist for r in rin.distances.collect()} == {
+        "c": 0.0, "b": 1.0, "a": 2.0
+    }
+    rin.release()
+    rboth = sssp(e, ["c"], weight_col="w", direction="both", max_rounds=1,
+                 num_partitions=4)
+    assert {r.id: r.dist for r in rboth.distances.collect()} == {
+        "c": 0.0, "b": 1.0, "d": 1.0
+    }
+    assert not rboth.converged and rboth.rounds == 1
+    rboth.release()
+
+
+def test_sssp_rejects_negative_weights_and_handles_isolated_source(spark):
+    with pytest.raises(ValueError, match="non-negative"):
+        sssp(wedge_df(spark, [("a", "b", -1)]), ["a"], weight_col="w",
+             num_partitions=4)
+    iso = sssp(wedge_df(spark, [("a", "b", 1)]), ["zz"], weight_col="w",
+               num_partitions=4)
+    assert {r.id: r.dist for r in iso.distances.collect()} == {"zz": 0.0}
+    assert iso.converged and iso.rounds == 0
+    iso.release()
+
+
 def test_traversal_release_leaves_no_cache_entries(spark):
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     baseline = cache_mgr.cachedData().size()
@@ -132,6 +222,12 @@ def test_traversal_release_leaves_no_cache_entries(spark):
     b.distances.count()
     c = k_core(e, k=3, num_partitions=4)
     c.vertices.count()
+    s = sssp(e, ["k0"], num_partitions=4)  # odd AND checkpointed paths
+    s.distances.count()
+    s3 = sssp(e, ["k0"], max_rounds=3, num_partitions=4)
+    s3.distances.count()
     b.release()
     c.release()
+    s.release()
+    s3.release()
     assert cache_mgr.cachedData().size() == baseline
