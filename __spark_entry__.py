@@ -539,6 +539,30 @@ def _q_sssp_sql(spark, sf_dir):
     )
 
 
+def _q_cyclic_core_sql(spark, sf_dir):
+    """Circular-import detection (graph/traversal.py:cyclic_core):
+    trim sources and sinks to fixpoint; survivors = the union of
+    directed cycles (+ cycle-to-cycle bridges). Fixture: the
+    non-invertible functional map i→(i²+1) mod 25 (tails collapse
+    5-to-1 into a small cycle set) plus sparse cross-edges i→(i+7) on
+    i≡0 (mod 3) — a 6-round trim cascade; nation is 25 rows at every
+    SF, so the oracle's unroll depth is scale-independent."""
+    from graph_engine_spark.graph.traversal import cyclic_core
+
+    n = _load(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("int")
+    e1 = n.select(
+        key.alias("src"), ((key * key + 1) % 25).cast("int").alias("dst")
+    )
+    e2 = n.filter(key % 3 == 0).select(
+        key.alias("src"), ((key + 7) % 25).cast("int").alias("dst")
+    )
+    res = cyclic_core(e1.unionByName(e2), num_partitions=8)
+    return res.vertices.select(
+        F.col("id").cast("int").alias("id"), "in_deg", "out_deg"
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     """Heuristic language-ID (training-data pipeline op, pipelines/text.py)."""
     from graph_engine_spark.pipelines.text import lang_id
@@ -892,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_3hops": _q_bfs_sql,
         "k_core": _q_kcore_sql,
         "sssp_weighted": _q_sssp_sql,
+        "cyclic_core": _q_cyclic_core_sql,
         "triangle_count": _q_triangles_sql,
         "clustering_coefficient": _q_clustering_coeff_sql,
         "label_propagation": _q_lpa_sql,
@@ -1119,6 +1144,41 @@ reach AS (
   FROM reach r JOIN e ON e.src = r.id WHERE r.hops < 24
 )
 SELECT id, CAST(MIN(dist) AS INT) AS dist FROM reach GROUP BY id
+"""
+
+
+def _trim_step(i: int) -> str:
+    """One unrolled source/sink-trim round: vertices appearing as BOTH
+    a tail and a head of e{i-1} survive into e{i} (the SQL twin of
+    graph/traversal.py:cyclic_core's intersect + two semi-joins).
+    MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and with
+    ~5 references to e{i-1} per step the 7-step chain would expand the
+    base parquet view 5^7 times — it surfaces as a misleading
+    'Too many open files' IO error."""
+    prev, cur = f"e{i-1}", f"e{i}"
+    return f"""
+k{i} AS MATERIALIZED (SELECT u FROM {prev} INTERSECT SELECT v AS u FROM {prev}),
+{cur} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN k{i} a ON a.u = e.u
+  JOIN k{i} b ON b.u = e.v
+)"""
+
+
+_CYCLIC_CORE_ORACLE = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT CAST(src AS INT) AS u, CAST(dst AS INT) AS v FROM (
+    SELECT n_nationkey AS src,
+           (n_nationkey * n_nationkey + 1) % 25 AS dst FROM nation
+    UNION ALL
+    SELECT n_nationkey AS src, (n_nationkey + 7) % 25 AS dst
+    FROM nation WHERE n_nationkey % 3 = 0
+  )
+),
+{steps}
+SELECT o.id, i.in_deg, o.out_deg
+FROM (SELECT u AS id, COUNT(*) AS out_deg FROM e7 GROUP BY u) o
+JOIN (SELECT v AS id, COUNT(*) AS in_deg FROM e7 GROUP BY v) i USING (id)
 """
 
 
@@ -1869,6 +1929,9 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": cc,
         "bfs_3hops": _BFS_ORACLE,
         "sssp_weighted": _SSSP_ORACLE,
+        "cyclic_core": _CYCLIC_CORE_ORACLE.format(
+            steps=",".join(_trim_step(i) for i in range(1, 8)).lstrip(",")
+        ),
         "k_core": _KCORE_ORACLE.format(
             steps=",".join(_kcore_step(i, 3) for i in range(1, 7)).lstrip(",")
         ),

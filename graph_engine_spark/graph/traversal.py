@@ -24,6 +24,16 @@ of BFS here, and BFS itself is the unit-weight special case of SSSP):
   the graph; converged means exact shortest distances (non-negative
   weights are enforced).
 
+- ``cyclic_core``: circular-import detection by bidirectional trimming
+  (the FW-BW "trim" step of distributed SCC algorithms, run to
+  fixpoint): repeatedly delete every vertex with in-degree 0 OR
+  out-degree 0. The survivor set is EMPTY iff the graph is a DAG, and
+  otherwise contains every directed cycle (plus any bridge vertices
+  lying on cycle-to-cycle paths — a documented superset). "Does this
+  codebase have circular imports, and roughly where" is one of the
+  first questions asked of an import graph; the reference's surface
+  can only answer it one 2-hop probe at a time.
+
 - ``k_core``: iterative degree peeling (Matula–Beck coreness, the
   distributed round-synchronous variant): drop every vertex with
   undirected degree < k, recompute, repeat to fixpoint. Each round is
@@ -86,6 +96,117 @@ class KCoreResult:
         self.vertices.unpersist()
         for df in self._owned:
             df.unpersist()
+
+
+@dataclass
+class CyclicCoreResult:
+    vertices: DataFrame  # (id, in_deg, out_deg) inside the cyclic core
+    is_dag: bool  # True: the core is empty — no directed cycle exists
+    iterations: int  # trim rounds executed
+    converged: bool
+    round_seconds: list = field(default_factory=list)
+    _owned: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Same contract as BFSResult.release()."""
+        self.vertices.unpersist()
+        for df in self._owned:
+            df.unpersist()
+
+
+def cyclic_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> CyclicCoreResult:
+    """Maximal subgraph in which every vertex has in-degree ≥ 1 AND
+    out-degree ≥ 1 — the fixpoint of deleting sources and sinks.
+
+    Semantics (exact, set-theoretic): the result is empty iff the edge
+    table is a DAG (every finite digraph whose vertices all have
+    in-degree ≥ 1 contains a cycle); every vertex on a directed cycle
+    survives; a non-cycle vertex survives only if it lies on a path
+    from one cycle to another (the superset the docstring header
+    documents — exact cycle membership needs SCCs, for which this trim
+    is the standard distributed preprocessing step). Self-loops are
+    KEPT: a self-import is a cycle of length 1.
+
+    One trim round = one two-sided degree aggregation + two semi-joins,
+    all keyed on the vertex id over the persisted, shrinking edge set —
+    the same plan shape as ``k_core`` (whose peel discipline this
+    follows), so the same scale argument applies: bulk acyclic mass
+    (most of a sane import graph) disappears in the first rounds, and
+    rounds are bounded by the longest chain hanging off a cycle.
+    """
+    spark = edges.sparkSession
+    dg = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+
+    if num_partitions is None:
+        num_partitions = partitions_for_count(edges.count(), spark)
+    loop_conf = _IterLoopConf(spark, num_partitions)
+    try:
+        dg = dg.repartition(num_partitions, "u").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_edges = dg.count()
+        dg_cached = dg
+
+        it = 0
+        converged = False
+        rounds: list[float] = []
+        while it < max_iter and n_edges > 0:
+            t0 = time.time()
+            # survivors must emit AND receive at least one edge
+            keep = (
+                dg.select("u")
+                .intersect(dg.select(F.col("v").alias("u")))
+            )
+            pruned = (
+                dg.join(keep.hint("shuffle_hash"), "u", "left_semi")
+                .join(
+                    keep.withColumnRenamed("u", "v").hint("shuffle_hash"),
+                    "v",
+                    "left_semi",
+                )
+                .select("u", "v")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            n2 = pruned.count()
+            it += 1
+            changed = n2 != n_edges
+            n_edges = n2
+            if dg_cached is not None:
+                dg_cached.unpersist()
+            dg, dg_cached = pruned, pruned
+            if it % 2 == 0 and changed:
+                dg = dg.localCheckpoint(eager=True)
+                dg_cached.unpersist()
+                dg_cached = None
+            rounds.append(time.time() - t0)
+            if not changed:
+                converged = True
+                break
+        if n_edges == 0:
+            converged = True
+
+        out_d = dg.groupBy("u").agg(F.count("*").alias("out_deg"))
+        in_d = (
+            dg.groupBy(F.col("v").alias("u"))
+            .agg(F.count("*").alias("in_deg"))
+        )
+        out = (
+            out_d.join(in_d, "u")
+            .select(F.col("u").alias("id"), "in_deg", "out_deg")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_core = out.count()
+        if dg_cached is not None:
+            dg_cached.unpersist()
+        return CyclicCoreResult(out, n_core == 0, it, converged, rounds, [])
+    finally:
+        loop_conf.restore()
 
 
 @dataclass

@@ -10,7 +10,12 @@ import networkx as nx
 import pytest
 from pyspark.sql import functions as F
 
-from graph_engine_spark.graph.traversal import bfs_k_hops, k_core, sssp
+from graph_engine_spark.graph.traversal import (
+    bfs_k_hops,
+    cyclic_core,
+    k_core,
+    sssp,
+)
 
 
 def edge_df(spark, pairs):
@@ -214,6 +219,69 @@ def test_sssp_rejects_negative_weights_and_handles_isolated_source(spark):
     iso.release()
 
 
+def _py_trim(pairs):
+    """Reference trim: drop sources/sinks to fixpoint, return
+    {id: (in_deg, out_deg)} inside the surviving subgraph."""
+    edges = {(str(a), str(b)) for a, b in pairs}
+    while True:
+        outs = {u for u, v in edges}
+        ins = {v for u, v in edges}
+        keep = outs & ins
+        ne = {(u, v) for u, v in edges if u in keep and v in keep}
+        if ne == edges:
+            break
+        edges = ne
+    from collections import Counter
+
+    oc = Counter(u for u, v in edges)
+    ic = Counter(v for u, v in edges)
+    return {i: (ic[i], oc[i]) for i in oc}
+
+
+def test_cyclic_core_dag_is_empty(spark):
+    res = cyclic_core(edge_df(spark, CHAIN), num_partitions=4)
+    assert res.vertices.count() == 0
+    assert res.is_dag and res.converged
+    res.release()
+
+
+def test_cyclic_core_cycle_with_tail(spark):
+    # 3-cycle with a 3-vertex tail hanging off: the tail peels one
+    # vertex per round (sink trimming), the cycle survives at degree 1
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("a", "t1"), ("t1", "t2"), ("t2", "t3")]
+    res = cyclic_core(edge_df(spark, pairs), num_partitions=4)
+    got = {r.id: (r.in_deg, r.out_deg) for r in res.vertices.collect()}
+    assert got == {"a": (1, 1), "b": (1, 1), "c": (1, 1)}
+    assert not res.is_dag and res.converged and res.iterations >= 3
+    assert len(res.round_seconds) == res.iterations
+    res.release()
+
+
+def test_cyclic_core_keeps_cycle_to_cycle_bridges_and_self_loops(spark):
+    # two 2-cycles joined by a bridge vertex: the bridge has in/out
+    # degree >= 1 at fixpoint and survives (the documented superset) —
+    # plus an isolated self-loop, a cycle of length 1
+    pairs = [("a", "b"), ("b", "a"), ("b", "m"), ("m", "c"),
+             ("c", "d"), ("d", "c"), ("s", "s"), ("s", "gone")]
+    res = cyclic_core(edge_df(spark, pairs), num_partitions=4)
+    got = {r.id: (r.in_deg, r.out_deg) for r in res.vertices.collect()}
+    assert got == _py_trim(pairs)
+    assert set(got) == {"a", "b", "m", "c", "d", "s"}
+    res.release()
+
+
+def test_cyclic_core_matches_reference_trim_on_functional_graph(spark):
+    pairs = [(i, (i * i + 1) % 25) for i in range(25)] + [
+        (i, (i + 7) % 25) for i in range(25) if i % 3 == 0
+    ]
+    res = cyclic_core(edge_df(spark, pairs))
+    got = {r.id: (r.in_deg, r.out_deg) for r in res.vertices.collect()}
+    assert got == _py_trim(pairs)
+    assert res.converged
+    res.release()
+
+
 def test_traversal_release_leaves_no_cache_entries(spark):
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     baseline = cache_mgr.cachedData().size()
@@ -226,8 +294,11 @@ def test_traversal_release_leaves_no_cache_entries(spark):
     s.distances.count()
     s3 = sssp(e, ["k0"], max_rounds=3, num_partitions=4)
     s3.distances.count()
+    cy = cyclic_core(e, num_partitions=4)
+    cy.vertices.count()
     b.release()
     c.release()
     s.release()
     s3.release()
+    cy.release()
     assert cache_mgr.cachedData().size() == baseline
