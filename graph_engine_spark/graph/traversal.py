@@ -1,9 +1,10 @@
 """Bounded traversals over the edge table: k-hop BFS, k-core, SSSP.
 
-Three classic link-graph operators the reference's query surface
-implies but never generalizes (its 1-hop/2-hop scans —
-graph_core/graph.py neighbor lookups — are the k=1/k=2 special cases
-of BFS here, and BFS itself is the unit-weight special case of SSSP):
+Classic link-graph operators the reference's query surface implies
+but never generalizes (its 1-hop/2-hop adjacency scans —
+graph_core/storage/in_memory.py:191 get_edges_for_nodes and the
+2-hop walk composed from it — are the k=1/k=2 special cases of BFS
+here, and BFS itself is the unit-weight special case of SSSP):
 
 - ``bfs_k_hops``: multi-source shortest hop-distance, bounded at k.
   Frontier-at-a-time BFS as DataFrame joins — each round shuffles ONLY
