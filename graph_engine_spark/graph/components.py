@@ -221,33 +221,47 @@ def _connected_components(
     e_cached = e
     while it < max_iter:
         t0 = time.time()
-        e2 = _small_star(_large_star(e)).persist(StorageLevel.MEMORY_AND_DISK)
-        # convergence: both sets are distinct, so equal counts plus an
-        # empty one-direction difference proves set equality — one
-        # exceptAll scan instead of two (the count also materializes
-        # e2's cache for the next round)
-        e2_count = e2.count()
-        changed = e2_count != e_count or not e2.exceptAll(e).isEmpty()
+        # Re-root the star output EVERY round (round-6): one alternating
+        # round's plan references its input ~16× (each star step fans
+        # out over union/agg-join/distinct branches), so un-truncated
+        # lineage grows 16× PER ROUND and Catalyst analysis dominated
+        # wall time (measured: 9 s of pure driver-side plan work in
+        # round 2, 21 s in round 4, vs sub-second execution). The eager
+        # localCheckpoint IS the round's materialization — same single
+        # pass the old persist+count paid — and keeps every round's
+        # plan depth constant.
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # convergence probe (round-6 fusion — was a count() plus an
+        # exceptAll().isEmpty() job): both sets are distinct, so set
+        # equality ⟺ empty symmetric difference. One full-outer join of
+        # the two checkpoint-backed sets counts the new set and the
+        # mismatches in a single cheap job.
+        row = (
+            e2.select("u", "v", F.lit(1).alias("_a"))
+            .join(
+                e.select("u", "v", F.lit(1).alias("_b")).hint("shuffle_hash"),
+                ["u", "v"],
+                "full",
+            )
+            .agg(
+                F.sum("_a").alias("n2"),
+                F.count(
+                    F.when(F.col("_a").isNull() | F.col("_b").isNull(), 1)
+                ).alias("diffs"),
+            )
+            .collect()[0]
+        )
+        e2_count = row["n2"] or 0
+        changed = (row["diffs"] or 0) > 0
         e_count = e2_count
         if e_cached is not None:
             e_cached.unpersist()
+            e_cached = None
         e = e2
-        e_cached = e2
         it += 1
         rounds.append(time.time() - t0)
         if checkpoint is not None and checkpoint.should_checkpoint(it):
-            e = checkpoint.save(e, it, {"phase": "cc"}).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            e_cached.unpersist()  # state re-rooted on Parquet
-            e_cached = e
-        elif it % 2 == 0:
-            # truncate iterative lineage: the convergence check references
-            # e twice (both exceptAll directions), so plan size doubles
-            # per round without truncation (see pagerank.py)
-            e = e.localCheckpoint(eager=True)
-            e_cached.unpersist()  # blocks materialized by eager=True
-            e_cached = None
+            e = checkpoint.save(e, it, {"phase": "cc"})
         if not changed:
             converged = True
             break

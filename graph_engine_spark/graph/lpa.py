@@ -98,7 +98,13 @@ def _order_preserving_id_map(
             "dictionary — the checkpoint was not written by a coded "
             "run; rerun with the matching encode_ids setting"
         )
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # size the dictionary shuffle to the graph, not the session default
+    # (round-6: a 60k-edge graph was range-shuffled into 64 near-empty
+    # partitions; partitions_for_count keeps the range sampling and the
+    # sort proportional to the data at any scale)
+    from graph_engine_spark.graph.adjacency import partitions_for_count
+
+    n_part = partitions_for_count(edges.count(), spark)
     m = (
         vertex_ids(edges, src, dst)
         .repartitionByRange(n_part, "id")
@@ -247,37 +253,28 @@ def _label_propagation(
     # ranks_cached note: unpersist() through a re-rooted frame is a
     # no-op, so each truncation must release its predecessor explicitly
     labels_cached = labels
-    win = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+    # Repartition the static symmetrized edge set by the vote-join key
+    # ONCE (round-6): sym comes out of its distinct/groupBy partitioned
+    # by (a, b), which does NOT satisfy the join's hashpartitioning(a)
+    # requirement — without this, every superstep re-shuffled the whole
+    # |E| edge set; now only the |V| label table moves per superstep
+    # (the same static-side discipline as pagerank's CSR adjacency).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym_a = sym.repartition(n_part, "a").persist(StorageLevel.MEMORY_AND_DISK)
+    sym_a.count()
     rounds: list[float] = []
     while it < max_iter:
         _t0 = time.time()
-        votes = (
-            sym.join(labels, sym.a == labels.id)
-            .groupBy(F.col("b").alias("id"), "label")
-            .agg((F.sum("w") if weighted else F.count("*")).alias("cnt"))
+        stepped = _lpa_round_body(sym_a, labels, weighted).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        best = (
-            votes.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("label").alias("new_label"))
-        )
-        # fused step: the old label rides along as _prev, so change
-        # detection is a filter on THIS frame (no second |V| join).
-        # shuffle_hash: with broadcasts disabled the planner would plan
-        # sort-merge and re-sort the labels side every superstep (see
-        # pagerank.py)
-        stepped = (
-            labels.join(best.hint("shuffle_hash"), "id", "left")
-            .select(
-                "id",
-                F.col("label").alias("_prev"),
-                F.coalesce("new_label", "label").alias("label"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        changed = (
-            stepped.filter(F.col("label") != F.col("_prev")).limit(1).count()
-        )
+        # ONE action per superstep (round-6 fusion — the old
+        # filter+limit(1) probe was a second job and left the cache
+        # partially materialized): the aggregate materializes the
+        # stepped frame and counts the changed labels
+        changed = stepped.agg(
+            F.count(F.when(F.col("label") != F.col("_prev"), 1)).alias("c")
+        ).collect()[0]["c"]
         if labels_cached is not None:
             labels_cached.unpersist()
         labels = stepped.drop("_prev")
@@ -300,6 +297,7 @@ def _label_propagation(
         if changed == 0:
             converged = True
             break
+    sym_a.unpersist()
     sym.unpersist()
     verts.unpersist()
     # the persisted handle backing the returned labels is labels_cached
@@ -308,4 +306,33 @@ def _label_propagation(
     return LPAResult(
         labels, it, converged, rounds,
         [f for f in (labels_cached,) if f is not None],
+    )
+
+
+def _lpa_round_body(sym_a: DataFrame, labels: DataFrame, weighted: bool) -> DataFrame:
+    """One fused LPA superstep: (id, _prev, label).
+
+    Argmax via min_by over the (-cnt, label) struct (round-6): votes
+    rows are unique per (id, label), so the ordering key is unique and
+    min_by is deterministic — exactly the old row_number window's
+    (cnt desc, label asc) pick, as a hash aggregation instead of a
+    per-superstep sort. shuffle_hash hints: with broadcasts disabled
+    the planner would otherwise degrade both joins to sort-merge (see
+    pagerank.py's superstep note)."""
+    votes = (
+        sym_a.join(labels.hint("shuffle_hash"), sym_a.a == labels.id)
+        .groupBy(F.col("b").alias("id"), "label")
+        .agg((F.sum("w") if weighted else F.count("*")).alias("cnt"))
+    )
+    best = votes.groupBy("id").agg(
+        F.min_by(
+            "label", F.struct((-F.col("cnt")).alias("c"), F.col("label").alias("l"))
+        ).alias("new_label")
+    )
+    # fused step: the old label rides along as _prev, so change
+    # detection reads THIS frame (no second |V| join)
+    return labels.join(best.hint("shuffle_hash"), "id", "left").select(
+        "id",
+        F.col("label").alias("_prev"),
+        F.coalesce("new_label", "label").alias("label"),
     )

@@ -159,10 +159,19 @@ def cyclic_core(
         rounds: list[float] = []
         while it < max_iter and n_edges > 0:
             t0 = time.time()
-            # survivors must emit AND receive at least one edge
+            # survivors must emit AND receive at least one edge.
+            # Hinted semi-join, not INTERSECT (ADVICE r5 #3): under the
+            # loop conf (broadcasts off) INTERSECT plans as sort-merge
+            # and re-sorts the cached edge set every trim round; the
+            # semi-join of distinct tails against distinct heads is the
+            # same set under shuffled hash.
             keep = (
-                dg.select("u")
-                .intersect(dg.select(F.col("v").alias("u")))
+                dg.select("u").distinct()
+                .join(
+                    dg.select(F.col("v").alias("u")).distinct().hint("shuffle_hash"),
+                    "u",
+                    "left_semi",
+                )
             )
             pruned = (
                 dg.join(keep.hint("shuffle_hash"), "u", "left_semi")
@@ -197,15 +206,28 @@ def cyclic_core(
             dg.groupBy(F.col("v").alias("u"))
             .agg(F.count("*").alias("in_deg"))
         )
+        # full outer + zero-fill (ADVICE r5 #2): short of the fixpoint a
+        # survivor can have only one of in/out degree — an inner join
+        # silently dropped it. At fixpoint every survivor has both
+        # degrees ≥ 1, so this is identical to the old inner join there.
         out = (
-            out_d.join(in_d, "u")
-            .select(F.col("u").alias("id"), "in_deg", "out_deg")
+            out_d.join(in_d, "u", "full")
+            .select(
+                F.col("u").alias("id"),
+                F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_core = out.count()
         if dg_cached is not None:
             dg_cached.unpersist()
-        return CyclicCoreResult(out, n_core == 0, it, converged, rounds, [])
+        # is_dag is a DAG *certificate* — only a converged empty core
+        # proves acyclicity (ADVICE r5 #2: an exhausted max_iter run
+        # must not certify)
+        return CyclicCoreResult(
+            out, converged and n_core == 0, it, converged, rounds, []
+        )
     finally:
         loop_conf.restore()
 
@@ -302,11 +324,17 @@ def sssp(
             StorageLevel.MEMORY_AND_DISK
         )
         adj.count()
-        if adj.filter(F.col("w") < 0).limit(1).count() > 0:
+        # fail fast on NULL/NaN weights too (ADVICE r5 #1): a NULL
+        # weight survives min() and yields NULL candidate distances that
+        # re-match `dist.isNull()` forever — the loop would burn
+        # max_rounds and emit NULL dists, breaking 'converged ⇒ exact'
+        bad = F.col("w").isNull() | F.isnan("w") | (F.col("w") < 0)
+        if adj.filter(bad).limit(1).count() > 0:
             adj.unpersist()
             raise ValueError(
-                "sssp requires non-negative edge weights (negative-cycle "
-                "detection is out of contract; see docstring)"
+                "sssp requires non-negative, non-NULL edge weights "
+                "(negative-cycle detection is out of contract; see "
+                "docstring)"
             )
 
         dists = src_df.select("id", F.lit(0.0).alias("dist")).persist(
@@ -314,74 +342,81 @@ def sssp(
         )
         dists.count()
         frontier = dists  # round 0 relaxes out of the sources themselves
-        dists_cached = dists
-        frontier_cached: DataFrame | None = None  # sources ride dists_cached
+        stepped_cached: DataFrame | None = dists  # handle owning the cache
 
         rnd = 0
         converged = False
         rounds_t: list[float] = []
         while rnd < max_rounds:
             t0 = time.time()
-            # shuffle_hash hints: same planner gap as the BFS loop above
-            # (broadcasts off under the loop conf disables the planner's
-            # own SHJ selection; hintless joins re-sort the cached
-            # adjacency/dists every round)
-            cand = (
-                adj.join(
-                    frontier.select(
-                        F.col("id").alias("u"), F.col("dist").alias("_du")
-                    ).hint("shuffle_hash"),
-                    "u",
-                )
-                .select("v", (F.col("_du") + F.col("w")).alias("_nd"))
-                .groupBy("v")
-                .agg(F.min("_nd").alias("_nd"))
-                .select(F.col("v").alias("id"), "_nd")
+            stepped = _sssp_round_body(adj, frontier, dists).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
-            improved = (
-                cand.join(dists.hint("shuffle_hash"), "id", "left")
-                .filter(F.col("dist").isNull() | (F.col("_nd") < F.col("dist")))
-                .select("id", F.col("_nd").alias("dist"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-            n_imp = improved.count()
+            # ONE action per round (round-6 fusion — was 2 actions + an
+            # anti-join + union): the aggregate both materializes the
+            # stepped cache and returns the improved-vertex count
+            n_imp = stepped.agg(
+                F.sum(F.col("_imp").cast("long")).alias("n")
+            ).collect()[0]["n"] or 0
             if n_imp == 0:
-                improved.unpersist()
+                stepped.unpersist()
                 rounds_t.append(time.time() - t0)
                 converged = True
                 break
             rnd += 1
-            new_dists = (
-                dists.join(improved.hint("shuffle_hash"), "id", "left_anti")
-                .unionByName(improved)
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-            new_dists.count()
-            if dists_cached is not None:
-                dists_cached.unpersist()
-            if frontier_cached is not None:
-                frontier_cached.unpersist()
-            dists, dists_cached = new_dists, new_dists
-            frontier, frontier_cached = improved, improved
+            if stepped_cached is not None:
+                stepped_cached.unpersist()
+            stepped_cached = stepped
             if rnd % 2 == 0 and rnd < max_rounds:
-                # truncate the union-per-round lineage
-                dists = dists.localCheckpoint(eager=True)
-                dists_cached.unpersist()
-                dists_cached = None
+                # truncate the per-round lineage; eager=True materializes
+                # the checkpoint blocks so the superseded cache entry can
+                # be released immediately
+                stepped = stepped.localCheckpoint(eager=True)
+                stepped_cached.unpersist()
+                stepped_cached = None
+            dists = stepped.drop("_imp")
+            frontier = stepped.filter(F.col("_imp")).select("id", "dist")
             rounds_t.append(time.time() - t0)
 
         adj.unpersist()
-        # after an odd final round dists_cached IS the result frame
-        # (released via .distances); frontier_cached is always a
-        # distinct frame once any round ran
-        owned = [
-            f
-            for f in (dists_cached, frontier_cached)
-            if f is not None and f is not dists
-        ]
+        owned = [f for f in (stepped_cached,) if f is not None]
         return SSSPResult(dists, rnd, converged, rounds_t, owned)
     finally:
         loop_conf.restore()
+
+
+def _sssp_round_body(adj: DataFrame, frontier: DataFrame, dists: DataFrame) -> DataFrame:
+    """One fused Bellman–Ford relaxation round: (id, dist, _imp).
+
+    Candidates = min over the frontier's out-edges; the old
+    anti-join + union new-dists build is replaced by ONE full-outer
+    shuffled-hash join of the dists table against the candidates —
+    same row set (dists ∪ newly reached), half the joins, and the
+    improved flag rides the frame so the convergence probe needs no
+    second pass. shuffle_hash hints: under the loop conf broadcasts are
+    off, which also disables the planner's own SHJ selection — hintless
+    joins degrade to sort-merge and re-sort the cached adjacency/dists
+    every round (guarded by tests/test_plan_shapes.py)."""
+    cand = (
+        adj.join(
+            frontier.select(
+                F.col("id").alias("u"), F.col("dist").alias("_du")
+            ).hint("shuffle_hash"),
+            "u",
+        )
+        .select("v", (F.col("_du") + F.col("w")).alias("_nd"))
+        .groupBy("v")
+        .agg(F.min("_nd").alias("_nd"))
+        .select(F.col("v").alias("id"), "_nd")
+    )
+    imp = F.col("_nd").isNotNull() & (
+        F.col("dist").isNull() | (F.col("_nd") < F.col("dist"))
+    )
+    return dists.join(cand.hint("shuffle_hash"), "id", "full").select(
+        "id",
+        F.when(imp, F.col("_nd")).otherwise(F.col("dist")).alias("dist"),
+        imp.alias("_imp"),
+    )
 
 
 def bfs_k_hops(
@@ -445,70 +480,82 @@ def bfs_k_hops(
         )
         adj.count()
 
-        frontier = src_df.persist(StorageLevel.MEMORY_AND_DISK)
-        frontier.count()
-        visited = frontier.select("id", F.lit(0).alias("dist")).persist(
+        visited = src_df.select("id", F.lit(0).alias("dist")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         visited.count()
-        # handles that OWN the current cache entries (see pagerank.py's
+        frontier = visited.select("id")
+        # handle that OWNS the current cache entry (see pagerank.py's
         # ranks_cached note: re-rooted frames make unpersist a no-op)
-        visited_cached = visited
-        frontier_cached = frontier
+        stepped_cached: DataFrame | None = visited
 
         hop = 0
         exhausted = False
         rounds: list[float] = []
         while hop < max_hops:
             t0 = time.time()
-            # shuffle_hash hints: under the loop conf broadcasts are off,
-            # which also disables the planner's own shuffled-hash
-            # selection (canBuildLocalHashMap keys off the broadcast
-            # threshold) — without the hints both joins degrade to
-            # sort-merge and re-SORT the cached adjacency/visited set
-            # every round (see pagerank.py's superstep join note;
-            # guarded by tests/test_plan_shapes.py)
-            nxt = (
-                adj.join(
-                    frontier.withColumnRenamed("id", "u").hint("shuffle_hash"),
-                    "u",
-                )
-                .select(F.col("v").alias("id"))
-                .distinct()
-                .join(visited.hint("shuffle_hash"), "id", "left_anti")
-                .persist(StorageLevel.MEMORY_AND_DISK)
+            stepped = _bfs_round_body(adj, frontier, visited, hop + 1).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
-            n_new = nxt.count()
+            # ONE action per round (round-6 fusion — was 2 actions + an
+            # anti-join + union): the aggregate materializes the stepped
+            # cache and returns the newly-discovered count
+            n_new = stepped.agg(
+                F.sum(F.col("_new").cast("long")).alias("n")
+            ).collect()[0]["n"] or 0
             hop += 1
             if n_new == 0:
-                nxt.unpersist()
+                stepped.unpersist()
                 rounds.append(time.time() - t0)
                 exhausted = True
                 hop -= 1  # the empty round discovered nothing
                 break
-            new_visited = visited.unionByName(
-                nxt.select("id", F.lit(hop).alias("dist"))
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            new_visited.count()
-            if visited_cached is not None:
-                visited_cached.unpersist()
-            frontier_cached.unpersist()
-            visited, visited_cached = new_visited, new_visited
-            frontier, frontier_cached = nxt, nxt
+            if stepped_cached is not None:
+                stepped_cached.unpersist()
+            stepped_cached = stepped
             if hop % 2 == 0 and hop < max_hops:
-                # truncate the union-per-round lineage
-                visited = visited.localCheckpoint(eager=True)
-                visited_cached.unpersist()
-                visited_cached = None
+                # truncate the per-round lineage (eager=True materializes
+                # the checkpoint blocks; release the superseded cache)
+                stepped = stepped.localCheckpoint(eager=True)
+                stepped_cached.unpersist()
+                stepped_cached = None
+            visited = stepped.drop("_new")
+            frontier = stepped.filter(F.col("_new")).select("id")
             rounds.append(time.time() - t0)
 
         adj.unpersist()
-        if frontier_cached is not None and frontier_cached is not visited_cached:
-            frontier_cached.unpersist()
-        owned = [f for f in (visited_cached,) if f is not None]
+        owned = [f for f in (stepped_cached,) if f is not None and f is not visited]
         return BFSResult(visited, hop, exhausted, rounds, owned)
     finally:
         loop_conf.restore()
+
+
+def _bfs_round_body(
+    adj: DataFrame, frontier: DataFrame, visited: DataFrame, hop: int
+) -> DataFrame:
+    """One fused level-synchronous BFS round: (id, dist, _new).
+
+    Neighbor candidates of the frontier are attached to the visited set
+    with ONE full-outer shuffled-hash join — replacing the old
+    anti-join + union (two |visited| passes per round) with a single
+    one; rows absent from visited are the new hop-`hop` layer and carry
+    the _new flag for the fused convergence probe. shuffle_hash hints:
+    under the loop conf broadcasts are off, which also disables the
+    planner's own SHJ selection — hintless joins degrade to sort-merge
+    and re-sort the cached adjacency/visited set every round (guarded
+    by tests/test_plan_shapes.py)."""
+    cand = (
+        adj.join(frontier.withColumnRenamed("id", "u").hint("shuffle_hash"), "u")
+        .select(F.col("v").alias("id"))
+        .distinct()
+        .select("id", F.lit(True).alias("_c"))
+    )
+    new = F.col("_c").isNotNull() & F.col("dist").isNull()
+    return visited.join(cand.hint("shuffle_hash"), "id", "full").select(
+        "id",
+        F.when(new, F.lit(hop)).otherwise(F.col("dist")).alias("dist"),
+        new.alias("_new"),
+    )
 
 
 def k_core(

@@ -184,19 +184,21 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    # localCheckpoint, NOT persist: the banded table is read at least
+    # twice (both sides of the self-join; three times with the cap
+    # scan), so it must be materialized once — without it the whole
+    # shingle→md5→min signature build runs once PER SIDE (round-6:
+    # measured ~2× on the uncapped oracle configuration, which skipped
+    # this materialization entirely before). df.persist() would
+    # register in the session CacheManager and, with the result
+    # returned lazily, nothing ever unpersists it (round-2 leak); an
+    # eager local checkpoint materializes the same blocks while staying
+    # OUT of the CacheManager — the ContextCleaner frees them as soon
+    # as the caller drops the returned plan.
+    banded = banded.localCheckpoint(eager=True)
     if max_bucket_size is not None:
-        # localCheckpoint, NOT persist: the banded table is read three
-        # times (cap scan + both sides of the self-join), so it must be
-        # materialized once — but df.persist() registers in the session
-        # CacheManager and, with the result returned lazily, nothing
-        # ever unpersists it (round-2 leak: every capped call in a
-        # long-lived session accumulated two cached tables). An eager
-        # local checkpoint materializes the same blocks while staying
-        # OUT of the CacheManager; the ContextCleaner frees them as
-        # soon as the caller drops the returned plan. over_cap is a
-        # tiny agg over the checkpointed blocks — recomputing it twice
-        # is cheaper than owning another cache entry.
-        banded = banded.localCheckpoint(eager=True)
+        # over_cap is a tiny agg over the checkpointed blocks —
+        # recomputing it twice is cheaper than owning a cache entry
         over_cap = (
             banded.groupBy("band", "bucket")
             .agg(F.count("*").alias("n"))
@@ -316,8 +318,14 @@ def simhash_near_dups(
     """
     n_chunks = max_hamming + 1
     width = bits // n_chunks
-    sig = simhash_table(docs, text_col, key_col, bits, hash_mode).select(
-        F.col(key_col).alias("key"), "simhash"
+    # materialize the signature table once (round-6): both sides of the
+    # chunk self-join read it, so without this the token explode + per-
+    # bit vote aggregation ran twice. localCheckpoint, not persist —
+    # same CacheManager-hygiene rationale as minhash_lsh_candidates.
+    sig = (
+        simhash_table(docs, text_col, key_col, bits, hash_mode)
+        .select(F.col(key_col).alias("key"), "simhash")
+        .localCheckpoint(eager=True)
     )
     chunk_cols = []
     for c in range(n_chunks):

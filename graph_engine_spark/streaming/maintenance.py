@@ -84,7 +84,10 @@ def _align(df: DataFrame, schema) -> DataFrame:
 
 def _changed_only(batch: DataFrame, file_hashes: DataFrame) -> DataFrame:
     """Parse-skip: drop rows whose stored hash equals the incoming hash
-    (reference manager.py:683-694)."""
+    (reference manager.py:683-694). The computed content_hash rides the
+    result so consumers never re-hash the batch content (round-6: the
+    unpersisted changed-set lineage — this join plus a sha2 over every
+    batch row — was replayed by each of the nodes/edges/hashes builds)."""
     hashed = batch.withColumn(
         "content_hash", F.sha2(F.col("content").cast("binary"), 256)
     )
@@ -95,7 +98,7 @@ def _changed_only(batch: DataFrame, file_hashes: DataFrame) -> DataFrame:
             F.col("s.content_hash").isNull()
             | (F.col("b.content_hash") != F.col("s.content_hash"))
         )
-        .select("b.repo", "b.path", "b.commit", "b.lang", "b.content")
+        .select("b.repo", "b.path", "b.commit", "b.lang", "b.content", "b.content_hash")
     )
 
 
@@ -105,7 +108,11 @@ def apply_upserts(state: GraphState, batch: DataFrame) -> GraphState:
     On Iceberg: MERGE INTO nodes/edges USING batch ON path
     (delete-then-insert per file partition). Here: anti-join + union.
     """
-    changed = _changed_only(batch, state.file_hashes)
+    # persist the changed-set once (round-6): it feeds the extraction
+    # IR, the surviving-row anti-joins (via paths), and the hash-table
+    # rebuild — unpersisted, the hash-compare join and the sha2 over the
+    # batch content were recomputed by every consumer (3-4× per batch)
+    changed = _changed_only(batch, state.file_hashes).persist()
     # extract via the IR directly (not extract_graph) so the persisted
     # IR handle can be released with the state (leak fix, VERDICT r3 #2)
     from graph_engine_spark.extractor.extract import (
@@ -114,7 +121,7 @@ def apply_upserts(state: GraphState, batch: DataFrame) -> GraphState:
         extract_ir,
     )
 
-    ir = extract_ir(changed).persist()
+    ir = extract_ir(changed.drop("content_hash")).persist()
     new_nodes, new_edges = dedupe_nodes(ir), dedupe_edges(ir)
     paths = changed.select("path").distinct()
 
@@ -141,15 +148,15 @@ def apply_upserts(state: GraphState, batch: DataFrame) -> GraphState:
         .persist()
     )
 
-    new_hashes = changed.select(
-        "path", F.sha2(F.col("content").cast("binary"), 256).alias("content_hash")
-    )
+    new_hashes = changed.select("path", "content_hash")
     hashes = (
         state.file_hashes.join(paths, "path", "left_anti")
         .unionByName(new_hashes)
         .persist()
     )
-    return GraphState(nodes, edges, hashes, persisted=(ir, nodes, edges, hashes))
+    return GraphState(
+        nodes, edges, hashes, persisted=(changed, ir, nodes, edges, hashes)
+    )
 
 
 def apply_deletes(state: GraphState, deleted_paths: DataFrame) -> GraphState:
@@ -255,7 +262,12 @@ def merge_dynamic_calls(state: GraphState, totals: DataFrame) -> GraphState:
             F.col("_last").alias("last_call_time"),
         )
     )
-    new_edges = annotated.unionByName(fresh)
+    # persist the merged edge table (round-6): it is consumed twice —
+    # the edges write and the per-node totals aggregation below — and
+    # each consumption replays the annotate/fresh joins (including the
+    # totals input, which in the maintenance loop is itself a query
+    # over the stored state)
+    new_edges = annotated.unionByName(fresh).persist()
 
     from graph_engine_spark.schemas import NODES_SCHEMA
 
@@ -283,7 +295,12 @@ def merge_dynamic_calls(state: GraphState, totals: DataFrame) -> GraphState:
         )
         .drop("_node_cnt")
     )
-    return GraphState(new_nodes, new_edges, state.file_hashes, persisted=state.persisted)
+    return GraphState(
+        new_nodes,
+        new_edges,
+        state.file_hashes,
+        persisted=tuple(state.persisted) + (new_edges,),
+    )
 
 
 def persist_state_version(spark, new_state: GraphState, state_dir: str, batch_id: int) -> GraphState:
@@ -298,9 +315,28 @@ def persist_state_version(spark, new_state: GraphState, state_dir: str, batch_id
     ~4 new entries in the session CacheManager forever (round-3 VERDICT
     finding #2 — the same leak class as the round-2 minhash fix)."""
     vdir = f"{state_dir}/v{batch_id:06d}"
-    new_state.nodes.write.mode("overwrite").parquet(f"{vdir}/nodes")
-    new_state.edges.write.mode("overwrite").parquet(f"{vdir}/edges")
-    new_state.file_hashes.write.mode("overwrite").parquet(f"{vdir}/hashes")
+    # The three table writes are independent jobs — submit them from a
+    # small thread pool (guide §2.6) so each write's task tail
+    # back-fills the cores the others leave idle; at sandbox scale this
+    # also overlaps three rounds of job-scheduling latency. Job
+    # descriptions are thread-local, so the UI stays labeled per table.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(args):
+        df, sub = args
+        df.write.mode("overwrite").parquet(f"{vdir}/{sub}")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                _write,
+                [
+                    (new_state.nodes, "nodes"),
+                    (new_state.edges, "edges"),
+                    (new_state.file_hashes, "hashes"),
+                ],
+            )
+        )
     reloaded = GraphState(
         nodes=spark.read.parquet(f"{vdir}/nodes"),
         edges=spark.read.parquet(f"{vdir}/edges"),
