@@ -122,8 +122,22 @@ def apply_upserts(state: GraphState, batch: DataFrame) -> GraphState:
     )
 
     ir = extract_ir(changed.drop("content_hash")).persist()
-    new_nodes, new_edges = dedupe_nodes(ir), dedupe_edges(ir)
-    paths = changed.select("path").distinct()
+    new_edges = dedupe_edges(ir)
+    # Raw node IR rows, shaped for merge_nodes (files = [path]): every
+    # merge aggregate is associative (min/max/set-union), so one merge
+    # pass over (touched kept rows ∪ raw IR rows) equals the old
+    # dedupe_nodes-then-merge_nodes double aggregation exactly — and
+    # skips a whole ObjectHashAggregate over the batch (round-6).
+    ir_nodes = ir.filter(F.col("kind") == "node").select(
+        "id", "type", "name", "repo", "path", "start_line", "end_line",
+        F.array("path").alias("files"), "content_hash", "params",
+    )
+    # The two batch-scoped dimension tables feed several broadcast
+    # builds each (paths: nodes/edges/hashes anti-joins; fresh ids:
+    # the untouched/touched split) — materialize them once as tiny
+    # checkpointed leaves (round-6) instead of re-running the distinct
+    # over the batch inside every broadcast query stage.
+    paths = changed.select("path").distinct().localCheckpoint(eager=True)
 
     # Node rows are keyed by id and may be defined by several files
     # (non-file-qualified ids): recompute the merge over surviving rows.
@@ -136,12 +150,24 @@ def apply_upserts(state: GraphState, batch: DataFrame) -> GraphState:
     kept_edges = state.edges.join(paths, "path", "left_anti")
     from graph_engine_spark.extractor.extract import merge_nodes
 
-    nodes = _align(
-        merge_nodes(
-            kept_nodes.unionByName(_align(new_nodes, NODES_SCHEMA), allowMissingColumns=True)
-        ),
-        NODES_SCHEMA,
-    ).persist()
+    # Re-merge ONLY the node ids the batch actually touched (round-6):
+    # merge_nodes is identity on rows it already produced (files sorted,
+    # provenance/extents already the group min/max, history already
+    # distinct), so untouched surviving rows can bypass the explode +
+    # collect_set aggregation entirely. That turns the per-batch merge
+    # shuffle from O(|state|) into O(|batch|): the id split is two
+    # joins against the (small, broadcastable) fresh-id dimension.
+    fresh_ids = ir_nodes.select("id").distinct().localCheckpoint(eager=True)
+    untouched = kept_nodes.join(F.broadcast(fresh_ids), "id", "left_anti")
+    touched_kept = kept_nodes.join(F.broadcast(fresh_ids), "id", "left_semi")
+    merged = merge_nodes(
+        touched_kept.unionByName(_align(ir_nodes, NODES_SCHEMA), allowMissingColumns=True)
+    )
+    nodes = (
+        _align(untouched, NODES_SCHEMA)
+        .unionByName(_align(merged, NODES_SCHEMA))
+        .persist()
+    )
     edges = (
         kept_edges.unionByName(_align(new_edges, EDGES_SCHEMA))
         .dropDuplicates(["src", "dst", "edge_type"])
@@ -152,6 +178,11 @@ def apply_upserts(state: GraphState, batch: DataFrame) -> GraphState:
     hashes = (
         state.file_hashes.join(paths, "path", "left_anti")
         .unionByName(new_hashes)
+        # one narrow table, one shuffle: the broadcast anti-join keeps
+        # the upstream scan partitioning (65 near-empty partitions at
+        # bench scale — 17 files per written version); repartitioning
+        # lets AQE size the layout to the data (round-6, guide §6)
+        .repartition("path")
         .persist()
     )
     return GraphState(

@@ -299,12 +299,15 @@ def test_winnowing_short_docs_never_shuffle_text(spark):
 
 
 def test_bfs_round_plan_no_sort_no_adjacency_exchange(spark):
-    """A BFS round under the loop conf must be shuffled-hash end to end:
-    no sort-merge degradation (which would re-SORT the cached adjacency
-    every round) and no live Exchange on the adjacency branch — only the
-    frontier/visited/aggregation shuffles."""
+    """The REAL fused BFS round body (traversal._bfs_round_body) under
+    the loop conf must be shuffled-hash end to end: no sort-merge
+    degradation (which would re-SORT the cached adjacency every round),
+    exactly two SHJs (frontier⋈adjacency inner + the full-outer
+    visited⋈candidates fusion that replaced the old anti-join+union),
+    and no live Exchange on the adjacency branch."""
     from pyspark.storagelevel import StorageLevel
     from graph_engine_spark.graph.pagerank import _IterLoopConf
+    from graph_engine_spark.graph.traversal import _bfs_round_body
 
     loop_conf = _IterLoopConf(spark, 4)
     try:
@@ -324,21 +327,14 @@ def test_bfs_round_plan_no_sort_no_adjacency_exchange(spark):
             StorageLevel.MEMORY_AND_DISK
         )
         visited.count()
-        # same shape as bfs_k_hops' round body, incl. the hints
-        nxt = (
-            adj.join(
-                frontier.withColumnRenamed("id", "u").hint("shuffle_hash"), "u"
-            )
-            .select(F.col("v").alias("id"))
-            .distinct()
-            .join(visited.hint("shuffle_hash"), "id", "left_anti")
-        )
-        plan = plan_of(nxt)
+        stepped = _bfs_round_body(adj, frontier, visited, 1)
+        plan = plan_of(stepped)
         assert "SortMergeJoin" not in plan, plan
         assert "BroadcastExchange" not in plan, plan
         # count over the tree section only ("formatted" repeats every
         # node in the detail listing below)
         assert plan.split("\n\n")[0].count("ShuffledHashJoin") == 2, plan
+        assert "FullOuter" in plan, plan  # the fused round join
         # no live Exchange may touch the cached adjacency subtree
         tree = plan.split("\n\n")[0].splitlines()
         rel_indent = None
@@ -352,7 +348,7 @@ def test_bfs_round_plan_no_sort_no_adjacency_exchange(spark):
                 rel_indent = indent
             elif "Exchange" in line:
                 live_exchanges += 1
-        # frontier shuffle + distinct agg shuffle + visited (anti) shuffle
+        # frontier shuffle + distinct agg shuffle + visited-side shuffle
         assert live_exchanges <= 3, plan
         adj.unpersist()
         visited.unpersist()
@@ -397,12 +393,15 @@ def test_kcore_round_plan_is_shuffled_hash(spark):
 
 
 def test_sssp_round_plan_is_shuffled_hash(spark):
-    """One SSSP relaxation round (graph/traversal.py:sssp): the
-    frontier join and the candidate-vs-dists improvement join must plan
-    as shuffled hash under the loop conf — sort-merge would re-SORT the
-    cached adjacency and the dists table every round."""
+    """The REAL fused SSSP round body (traversal._sssp_round_body)
+    under the loop conf: the frontier⋈adjacency join and the full-outer
+    dists⋈candidates fusion (which replaced the old left-join filter +
+    anti-join + union) must both plan as shuffled hash — sort-merge
+    would re-SORT the cached adjacency and the dists table every
+    round."""
     from pyspark.storagelevel import StorageLevel
     from graph_engine_spark.graph.pagerank import _IterLoopConf
+    from graph_engine_spark.graph.traversal import _sssp_round_body
 
     loop_conf = _IterLoopConf(spark, 4)
     try:
@@ -423,30 +422,76 @@ def test_sssp_round_plan_is_shuffled_hash(spark):
             [("0", 0.0), ("3", 0.0)], ["id", "dist"]
         ).persist(StorageLevel.MEMORY_AND_DISK)
         dists.count()
-        frontier = dists
-        # same shape as sssp's round body, incl. the hints
-        cand = (
-            adj.join(
-                frontier.select(
-                    F.col("id").alias("u"), F.col("dist").alias("_du")
-                ).hint("shuffle_hash"),
-                "u",
-            )
-            .select("v", (F.col("_du") + F.col("w")).alias("_nd"))
-            .groupBy("v")
-            .agg(F.min("_nd").alias("_nd"))
-            .select(F.col("v").alias("id"), "_nd")
-        )
-        improved = (
-            cand.join(dists.hint("shuffle_hash"), "id", "left")
-            .filter(F.col("dist").isNull() | (F.col("_nd") < F.col("dist")))
-            .select("id", F.col("_nd").alias("dist"))
-        )
-        plan = plan_of(improved)
+        stepped = _sssp_round_body(adj, dists, dists)
+        plan = plan_of(stepped)
         assert "SortMergeJoin" not in plan, plan
         assert "BroadcastExchange" not in plan, plan
         assert plan.split("\n\n")[0].count("ShuffledHashJoin") == 2, plan
+        assert "FullOuter" in plan, plan  # the fused round join
         adj.unpersist()
         dists.unpersist()
+    finally:
+        loop_conf.restore()
+
+
+def test_lpa_round_plan_minby_no_window_sort(spark):
+    """The REAL fused LPA superstep (lpa._lpa_round_body) under the
+    loop conf: argmax must be the min_by AGGREGATION, not a Window —
+    the row_number window shuffled and sorted the full vote table per
+    superstep, while min_by partially aggregates map-side (it plans as
+    SortAggregate because struct buffers are not hash-aggregable, but
+    the interleaved A/B reads 4.2-4.6s vs 6.6-9.8s for 5 supersteps).
+    The vote join must be shuffled hash with the cached sym-by-a
+    partitioning satisfied (no live Exchange on the edge branch), and
+    the step join stays a left-outer SHJ."""
+    from pyspark.storagelevel import StorageLevel
+    from graph_engine_spark.graph.pagerank import _IterLoopConf
+    from graph_engine_spark.graph.lpa import _lpa_round_body
+
+    loop_conf = _IterLoopConf(spark, 4)
+    try:
+        edges = spark.createDataFrame(
+            [(str(i), str((i * 3) % 40)) for i in range(200)], ["src", "dst"]
+        )
+        sym_a = (
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .repartition(4, "a")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sym_a.count()
+        labels = (
+            sym_a.select(F.col("a").alias("id")).distinct()
+            .repartition(4, "id")
+            .select("id", F.col("id").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        labels.count()
+        stepped = _lpa_round_body(sym_a, labels, weighted=False)
+        plan = plan_of(stepped)
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        assert "Window" not in tree, plan
+        assert tree.count("ShuffledHashJoin") == 2, plan
+        # no live Exchange may touch the cached sym-by-a subtree
+        rel_indent = None
+        live_exchanges = 0
+        for line in tree.splitlines():
+            indent = len(line) - len(line.lstrip(" :+-*"))
+            if rel_indent is not None and indent > rel_indent:
+                continue
+            rel_indent = None
+            if "InMemoryRelation" in line:
+                rel_indent = indent
+            elif "Exchange" in line:
+                live_exchanges += 1
+        # vote agg shuffle + best agg shuffle at most (labels side is
+        # already id-partitioned)
+        assert live_exchanges <= 2, plan
+        sym_a.unpersist()
+        labels.unpersist()
     finally:
         loop_conf.restore()
