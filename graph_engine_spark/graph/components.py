@@ -261,7 +261,11 @@ def _connected_components(
         it += 1
         rounds.append(time.time() - t0)
         if checkpoint is not None and checkpoint.should_checkpoint(it):
-            e = checkpoint.save(e, it, {"phase": "cc"})
+            # re-root the reloaded Parquet state into block storage once:
+            # the next star round references its input ~16×, and 16
+            # re-scans of a remote Parquet snapshot is exactly the kind
+            # of repeated I/O the localCheckpoint leaves avoid
+            e = checkpoint.save(e, it, {"phase": "cc"}).localCheckpoint(eager=True)
         if not changed:
             converged = True
             break

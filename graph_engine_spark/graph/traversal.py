@@ -125,14 +125,19 @@ def cyclic_core(
     """Maximal subgraph in which every vertex has in-degree ≥ 1 AND
     out-degree ≥ 1 — the fixpoint of deleting sources and sinks.
 
-    Semantics (exact, set-theoretic): the result is empty iff the edge
-    table is a DAG (every finite digraph whose vertices all have
-    in-degree ≥ 1 contains a cycle); every vertex on a directed cycle
-    survives; a non-cycle vertex survives only if it lies on a path
-    from one cycle to another (the superset the docstring header
-    documents — exact cycle membership needs SCCs, for which this trim
-    is the standard distributed preprocessing step). Self-loops are
-    KEPT: a self-import is a cycle of length 1.
+    Semantics (exact, set-theoretic, AT THE FIXPOINT): the result is
+    empty iff the edge table is a DAG (every finite digraph whose
+    vertices all have in-degree ≥ 1 contains a cycle); every vertex on
+    a directed cycle survives; a non-cycle vertex survives only if it
+    lies on a path from one cycle to another (the superset the
+    docstring header documents — exact cycle membership needs SCCs,
+    for which this trim is the standard distributed preprocessing
+    step). Self-loops are KEPT: a self-import is a cycle of length 1.
+    When max_iter is exhausted short of the fixpoint (converged=False)
+    the survivors are a SUPERSET of the cyclic core and ``is_dag`` is
+    reported False — an empty-or-not intermediate trim is not a DAG
+    certificate (ADVICE r5 #2); survivors with a one-sided degree are
+    zero-filled, never dropped.
 
     One trim round = one two-sided degree aggregation + two semi-joins,
     all keyed on the vertex id over the persisted, shrinking edge set —
