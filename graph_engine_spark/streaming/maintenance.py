@@ -34,8 +34,9 @@ class GraphState:
     nodes: DataFrame
     edges: DataFrame
     file_hashes: DataFrame  # (path, content_hash)
-    # batch-scoped cached frames backing this state (the extraction IR
-    # and the persisted nodes/edges/hashes). Dropping the Python
+    # batch-scoped cached frames backing this state (the changed-set
+    # and extraction IR the nodes/edges/hashes plans read; the merged
+    # edge table on the dynamic-call path). Dropping the Python
     # references does NOT unpersist — a long-lived stream must call
     # release() (persist_state_version does) once the state is re-rooted
     # on durable storage, or the session CacheManager grows per
@@ -163,15 +164,16 @@ def apply_upserts(state: GraphState, batch: DataFrame) -> GraphState:
     merged = merge_nodes(
         touched_kept.unionByName(_align(ir_nodes, NODES_SCHEMA), allowMissingColumns=True)
     )
-    nodes = (
-        _align(untouched, NODES_SCHEMA)
-        .unionByName(_align(merged, NODES_SCHEMA))
-        .persist()
-    )
+    # nodes/edges/hashes are NOT persisted (round-6): in the
+    # maintenance loop each is consumed exactly once — by its own
+    # parquet write in persist_state_version — and the inputs they
+    # share (the changed-set, the extraction IR) are the frames worth
+    # caching, and are. Block-manager stores of the full state per
+    # micro-batch bought nothing on that path.
+    nodes = _align(untouched, NODES_SCHEMA).unionByName(_align(merged, NODES_SCHEMA))
     edges = (
         kept_edges.unionByName(_align(new_edges, EDGES_SCHEMA))
         .dropDuplicates(["src", "dst", "edge_type"])
-        .persist()
     )
 
     new_hashes = changed.select("path", "content_hash")
@@ -183,11 +185,8 @@ def apply_upserts(state: GraphState, batch: DataFrame) -> GraphState:
         # bench scale — 17 files per written version); repartitioning
         # lets AQE size the layout to the data (round-6, guide §6)
         .repartition("path")
-        .persist()
     )
-    return GraphState(
-        nodes, edges, hashes, persisted=(changed, ir, nodes, edges, hashes)
-    )
+    return GraphState(nodes, edges, hashes, persisted=(changed, ir))
 
 
 def apply_deletes(state: GraphState, deleted_paths: DataFrame) -> GraphState:
