@@ -42,7 +42,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -154,7 +154,16 @@ def label_propagation(
     spark = edges.sparkSession
 
     id_map = None
+    owned_edges = None
     if encode_ids:
+        # the coded path makes several passes over the edge table (the
+        # dictionary-sizing count, the vertex range sort, two coding
+        # joins) — persist an unpersisted input for the build so
+        # expensive caller lineage replays at most once (pagerank's
+        # owned_edges pattern)
+        if edges.storageLevel == StorageLevel.NONE:
+            owned_edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+            edges = owned_edges
         id_map = _order_preserving_id_map(edges, src, dst, checkpoint, resume)
         id_map.count()  # materialize while the source lineage is warm
         wcols = [F.col(weight_col)] if weight_col is not None else []
@@ -209,6 +218,10 @@ def label_propagation(
         )
     finally:
         loop_conf.restore()
+        if owned_edges is not None:
+            # the loop state is materialized — the build-scoped edge
+            # cache can go
+            owned_edges.unpersist()
     if id_map is not None:
         # decode BOTH columns — vid order == id order, so the decoded
         # labels are exactly the uncoded run's (module docstring)
