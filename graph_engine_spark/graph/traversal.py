@@ -178,6 +178,13 @@ def cyclic_core(
                     "left_semi",
                 )
             )
+            # re-root EVERY round (round-6, the CC fix): one trim round
+            # references dg ~5× (two keep distincts + the edge set
+            # through two semi-joins), so un-truncated lineage grows
+            # ~5× per round and a deep trim cascade pays Catalyst
+            # analysis, not execution. The eager checkpoint IS the
+            # round's materialization; the count over its blocks is
+            # ~free.
             pruned = (
                 dg.join(keep.hint("shuffle_hash"), "u", "left_semi")
                 .join(
@@ -186,7 +193,7 @@ def cyclic_core(
                     "left_semi",
                 )
                 .select("u", "v")
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .localCheckpoint(eager=True)
             )
             n2 = pruned.count()
             it += 1
@@ -194,11 +201,8 @@ def cyclic_core(
             n_edges = n2
             if dg_cached is not None:
                 dg_cached.unpersist()
-            dg, dg_cached = pruned, pruned
-            if it % 2 == 0 and changed:
-                dg = dg.localCheckpoint(eager=True)
-                dg_cached.unpersist()
                 dg_cached = None
+            dg = pruned
             rounds.append(time.time() - t0)
             if not changed:
                 converged = True
@@ -611,6 +615,8 @@ def k_core(
             # shuffle_hash on the (shrinking) keep side — same planner
             # gap as the BFS joins above: hintless semi-joins under the
             # loop conf re-sort the cached edge set every peel round
+            # re-root EVERY round (round-6, the CC fix — see cyclic_core
+            # above): keeps a deep peeling cascade's plan depth constant
             pruned = (
                 und.join(keep.hint("shuffle_hash"), "u", "left_semi")
                 .join(
@@ -619,7 +625,7 @@ def k_core(
                     "left_semi",
                 )
                 .select("u", "v")
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .localCheckpoint(eager=True)
             )
             n2 = pruned.count()
             it += 1
@@ -627,11 +633,8 @@ def k_core(
             n_edges = n2
             if und_cached is not None:
                 und_cached.unpersist()
-            und, und_cached = pruned, pruned
-            if it % 2 == 0 and changed:
-                und = und.localCheckpoint(eager=True)
-                und_cached.unpersist()
                 und_cached = None
+            und = pruned
             rounds.append(time.time() - t0)
             if not changed:
                 converged = True
