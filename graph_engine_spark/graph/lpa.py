@@ -155,6 +155,7 @@ def label_propagation(
 
     id_map = None
     owned_edges = None
+    coded_verts = None
     if encode_ids:
         # the coded path makes several passes over the edge table (the
         # dictionary-sizing count, the vertex range sort, two coding
@@ -179,6 +180,13 @@ def label_propagation(
             )
             .select(F.col("_vs").alias(src), F.col("_vd").alias(dst), *wcols)
         )
+        # the coded vertex set IS the dictionary's vid column — the dict
+        # was built from vertex_ids(edges) and the coding joins are
+        # inner on every vertex, so projecting the (materialized) dict
+        # avoids replaying the two coding joins + a distinct just to
+        # recompute the same set inside the loop (round-6: the coded
+        # arm ran 13 extra jobs per call, half of them this replay)
+        coded_verts = id_map.select(F.col("vid").alias("id"))
 
     # build the loop's static symmetrized edge set first; sizing counts
     # THAT persisted table (materializing it for the loop), never the
@@ -215,6 +223,7 @@ def label_propagation(
             edges, sym, src, dst, max_iter, checkpoint, resume,
             weighted=weight_col is not None,
             expected_id_type="bigint" if encode_ids else None,
+            verts=coded_verts,
         )
     finally:
         loop_conf.restore()
@@ -248,10 +257,15 @@ def label_propagation(
 
 def _label_propagation(
     edges, sym, src, dst, max_iter, checkpoint=None, resume=False, weighted=False,
-    expected_id_type=None,
+    expected_id_type=None, verts=None,
 ) -> LPAResult:
+    """verts: optional precomputed vertex-id frame (id) equal to
+    vertex_ids(edges) — the encoded path passes the id dictionary's vid
+    projection so the coding-join plan is not replayed for the set."""
     spark = edges.sparkSession
-    verts = vertex_ids(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    if verts is None:
+        verts = vertex_ids(edges, src, dst)
+    verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
     it, converged = 0, False
     labels = None
     if resume and checkpoint is not None:

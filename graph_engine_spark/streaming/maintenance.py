@@ -42,6 +42,15 @@ class GraphState:
     # on durable storage, or the session CacheManager grows per
     # micro-batch (round-3 VERDICT finding #2).
     persisted: tuple = field(default=(), repr=False)
+    # table name → parquet dir the frame is an UNMODIFIED re-read of
+    # (set by persist_state_version on the reloaded state; a transform
+    # that passes a table through untouched propagates its entry).
+    # persist_state_version commits such a table by linking the
+    # existing files into the new version — the Iceberg metadata-only
+    # commit for unchanged tables, instead of a Spark re-write job
+    # (round-6: the dynamic-call merge never touches file_hashes, yet
+    # every merge persist re-scanned and re-wrote it).
+    sources: dict = field(default_factory=dict, repr=False)
 
     def release(self) -> None:
         """Unpersist the batch-scoped frames backing this state. Call
@@ -330,6 +339,9 @@ def merge_dynamic_calls(state: GraphState, totals: DataFrame) -> GraphState:
         new_edges,
         state.file_hashes,
         persisted=tuple(state.persisted) + (new_edges,),
+        # file_hashes passes through untouched — keep its durable-source
+        # tag so the next persist links it instead of re-writing it
+        sources={k: v for k, v in state.sources.items() if k == "hashes"},
     )
 
 
@@ -350,11 +362,32 @@ def persist_state_version(spark, new_state: GraphState, state_dir: str, batch_id
     # back-fills the cores the others leave idle; at sandbox scale this
     # also overlaps three rounds of job-scheduling latency. Job
     # descriptions are thread-local, so the UI stays labeled per table.
+    # A table tagged in new_state.sources is an UNMODIFIED re-read of a
+    # previous version's files: commit it by hard-linking those files
+    # into the new version (copy fallback) — the Iceberg metadata-only
+    # commit for unchanged tables — instead of a Spark scan+write job.
     from concurrent.futures import ThreadPoolExecutor
+
+    def _link_tree(src_dir: str, dst_dir: str) -> None:
+        import os
+        import shutil
+
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in os.listdir(src_dir):
+            s, d = os.path.join(src_dir, name), os.path.join(dst_dir, name)
+            if os.path.isfile(s):
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
 
     def _write(args):
         df, sub = args
-        df.write.mode("overwrite").parquet(f"{vdir}/{sub}")
+        src = new_state.sources.get(sub)
+        if src:
+            _link_tree(src, f"{vdir}/{sub}")
+        else:
+            df.write.mode("overwrite").parquet(f"{vdir}/{sub}")
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         list(
@@ -371,6 +404,11 @@ def persist_state_version(spark, new_state: GraphState, state_dir: str, batch_id
         nodes=spark.read.parquet(f"{vdir}/nodes"),
         edges=spark.read.parquet(f"{vdir}/edges"),
         file_hashes=spark.read.parquet(f"{vdir}/hashes"),
+        sources={
+            "nodes": f"{vdir}/nodes",
+            "edges": f"{vdir}/edges",
+            "hashes": f"{vdir}/hashes",
+        },
     )
     new_state.release()
     import os
