@@ -433,6 +433,59 @@ def test_merge_dynamic_calls_upsert_and_new_edge(spark):
     assert callee3[0]["dynamic_call_count"] == 9
 
 
+def test_unchanged_hashes_table_is_linked_not_rewritten(spark, tmp_path):
+    """The dynamic-call merge leaves file_hashes untouched, so its
+    persist must commit the table by linking the previous version's
+    parquet files (metadata-only commit) — verified by inode equality —
+    while an upsert (which rebuilds the hash table) must write fresh
+    files. Content must be identical either way."""
+    import os
+
+    from graph_engine_spark.streaming.maintenance import (
+        merge_dynamic_calls,
+        persist_state_version,
+    )
+
+    sdir = str(tmp_path / "state")
+    state = persist_state_version(
+        spark,
+        apply_upserts(empty_state(spark), corpus_df(spark, [("r", "a.py", FILE_A_V1)])),
+        sdir,
+        0,
+    )
+    assert state.sources["hashes"].endswith("v000000/hashes")
+
+    totals = spark.createDataFrame(
+        [("function:x", "function:y", 1, 1.0, 2.0)],
+        "src string, dst string, dynamic_call_count long, "
+        "first_call_time double, last_call_time double",
+    )
+    merged = merge_dynamic_calls(state, totals)
+    assert set(merged.sources) == {"hashes"}
+    state = persist_state_version(spark, merged, sdir, 1)
+
+    def inodes(sub, v):
+        d = f"{sdir}/v{v:06d}/{sub}"
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    assert inodes("hashes", 1) == inodes("hashes", 0)  # linked, not rewritten
+    assert state.file_hashes.count() == 1
+
+    # an upsert rebuilds the hash table: the next persist writes fresh files
+    state = persist_state_version(
+        spark,
+        apply_upserts(state, corpus_df(spark, [("r", "a.py", FILE_A_V2)])),
+        sdir,
+        2,
+    )
+    assert not set(inodes("hashes", 2).values()) & set(inodes("hashes", 1).values())
+    assert [r["path"] for r in state.file_hashes.collect()] == ["a.py"]
+
+
 def test_apply_deletes_large_batch_stays_distributed(spark):
     """A wide delete batch (hundreds of paths at once) resolves
     correctly through the explode→anti-join→re-aggregate path, and the
