@@ -178,8 +178,19 @@ def merge_nodes(nodes: DataFrame) -> DataFrame:
 
 def extract_graph(corpus: DataFrame, persist_ir: bool = True, parser: str = "fallback"):
     """Full extraction: corpus → (nodes, edges). Persists the IR so the
-    two output aggregations share one extraction pass."""
+    two output aggregations share one extraction pass, and the deduped
+    edge table so downstream consumers (link-graph builds, traversals)
+    don't each replay the full-width dropDuplicates shuffle — the dedup
+    groups on every column, so no consumer's column pruning can shrink
+    that replay. nodes is NOT persisted: its consumers prune the merge
+    aggregation down to the columns they touch, which is cheaper than
+    ever materializing the full files/history merge. Both caches are
+    plan-registered only until an action touches them; a cost-sensitive
+    caller opts out with persist_ir=False."""
     ir = extract_ir(corpus, parser=parser)
     if persist_ir:
         ir = ir.persist()
-    return dedupe_nodes(ir), dedupe_edges(ir)
+    edges = dedupe_edges(ir)
+    if persist_ir:
+        edges = edges.persist()
+    return dedupe_nodes(ir), edges

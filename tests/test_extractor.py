@@ -291,3 +291,21 @@ def test_js_params_destructuring_and_defaults():
     # group and the mangled default contribute nothing
     assert _js_params("{a, b}, c = g(1") == ["c"]
     assert _js_params("") == []
+
+
+def test_extract_graph_caches_deduped_edges_not_nodes(spark):
+    """Round-6: the deduped edge table is persisted alongside the IR —
+    its dropDuplicates groups on every column, so each downstream
+    consumer (link-graph builds, traversals) would otherwise replay the
+    full-width dedup shuffle. nodes stays UNcached: its consumers prune
+    the merge aggregation to the columns they touch, which is cheaper
+    than materializing the full files/history merge."""
+    corpus = synthesize_corpus(spark, 30)
+    nodes, edges = extract_graph(corpus)
+    assert edges.storageLevel.useMemory
+    assert not nodes.storageLevel.useMemory
+    edges.unpersist()
+
+    nodes2, edges2 = extract_graph(corpus, persist_ir=False)
+    assert not edges2.storageLevel.useMemory
+    assert not nodes2.storageLevel.useMemory
