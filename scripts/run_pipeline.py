@@ -79,7 +79,9 @@ def main() -> None:
         corpus = synthesize_corpus(
             spark, n_files=args.n_files, imports_per_file=args.imports_per_file
         )
-    nodes, edges = extract_graph(corpus)
+    # single-pass flow: edges is consumed once (the durable write below)
+    # and nodes not at all, so skip extract_graph's IR+edges caches
+    nodes, edges = extract_graph(corpus, persist_ir=False)
     # The north rule's materialization step: the deduplicated
     # (src, dst, edge_type) edge table, written ONCE clustered by src
     # (storage/edgetable.py; Iceberg bucket(N, src) in deployment) so

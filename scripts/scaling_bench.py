@@ -46,7 +46,10 @@ corpus = synthesize_corpus(
     spark, n_files=n_files, n_components=5, hubs_per_component=4,
     partitions=64, imports_per_file=imports,
 )
-_, edges = extract_graph(corpus)
+# single-consumer setup: the one write below is the only reader of
+# edges/IR, so skip extract_graph's IR+edges caches (materializing a
+# 47.8M-row cache during fixture write buys nothing here)
+_, edges = extract_graph(corpus, persist_ir=False)
 module_link_graph(edges).repartition(64).write.mode("overwrite").parquet(out_dir)
 print(json.dumps({"edges_written": spark.read.parquet(out_dir).count()}))
 """
